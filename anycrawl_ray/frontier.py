@@ -1,0 +1,154 @@
+"""URL frontier — FIFO priority queue with disk spill, the RequestQueue analog.
+
+Replaces Crawlee RequestQueueV2 + BullMQ (reference
+packages/scrape/src/managers/EngineQueue.ts:137-150, managers/Queue.ts:113-127).
+Ordering authority is the ``discovery_seq`` a row gets when pushed — the
+pipeline NEVER relies on Ray block order (SURVEY.md §7.5.1); priority is the
+(depth, seed_order, discovery_seq) sort key realized here as strict FIFO
+push order, which reproduces the reference's BFS wave order (O6,
+reference utils/crawlCoordinator.ts:27,38).
+
+Scale design: at a 10^10-URL frontier the queue cannot live in driver memory.
+The head stays in memory; beyond ``spill_threshold`` rows the tail spills to
+parquet segments (one file per segment, FIFO), refilled transparently as the
+head drains. A crashed run resumes from ``dump()``/``restore()`` checkpoints
+(in-memory head + references to unread spill segments).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import FRONTIER_SCHEMA
+from .urlnorm import hostname_of
+
+
+class Frontier:
+    """FIFO of (url, depth, seed_order, discovery_seq) with parquet spill."""
+
+    def __init__(self, job_id: str = "job", spill_threshold: int = 1_000_000,
+                 spill_dir: str | None = None, segment_rows: int = 250_000):
+        self.job_id = job_id
+        self.spill_threshold = spill_threshold
+        self.segment_rows = segment_rows
+        self.spill_dir = spill_dir
+        self._head: deque[tuple[str, int, int, int]] = deque()
+        self._tail: deque[tuple[str, int, int, int]] = deque()  # post-spill pushes
+        self._segments: deque[str] = deque()  # parquet files, FIFO
+        self._next_seq = 0
+        self._seg_counter = 0
+        self._count = 0  # exact queue length, O(1) — participates in limit checks
+
+    def __len__(self) -> int:
+        return self._count
+
+    def push(self, url: str, depth: int, seed_order: int = 0) -> int:
+        seq = self._next_seq
+        self._next_seq += 1
+        self._count += 1
+        row = (url, depth, seed_order, seq)
+        # once anything is queued behind the head, keep pushing behind it (FIFO)
+        if self._segments or self._tail or len(self._head) >= self.spill_threshold:
+            self._tail.append(row)
+            if len(self._tail) >= self.segment_rows and self.spill_dir:
+                self._spill_tail()
+        else:
+            self._head.append(row)
+        return seq
+
+    def _spill_tail(self) -> None:
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(self.spill_dir, f"frontier_seg_{self._seg_counter:06d}.parquet")
+        self._seg_counter += 1
+        pq.write_table(self._rows_to_table(list(self._tail)), path)
+        self._segments.append(path)
+        self._tail.clear()
+
+    def _refill(self) -> None:
+        while not self._head and (self._segments or self._tail):
+            if self._segments:
+                seg = self._segments.popleft()
+                t = pq.read_table(seg)
+                self._head.extend(self._table_to_rows(t))
+                os.remove(seg)
+            else:
+                self._head.extend(self._tail)
+                self._tail.clear()
+
+    def pop_wave(self, batch_size: int, per_host_cap: int = 0) -> list[tuple[str, int, int, int]]:
+        """Wave formation, politeness-aware — EXACTLY refmodel.form_wave
+        semantics (deferred rows keep order at the head)."""
+        if per_host_cap <= 0:
+            wave = []
+            while len(wave) < batch_size:
+                self._refill()
+                if not self._head:
+                    break
+                wave.append(self._head.popleft())
+                self._count -= 1
+            return wave
+        wave: list = []
+        deferred: list = []
+        host_count: dict[str, int] = {}
+        while len(wave) < batch_size:
+            self._refill()
+            if not self._head:
+                break
+            row = self._head.popleft()
+            h = hostname_of(row[0])
+            if host_count.get(h, 0) >= per_host_cap:
+                deferred.append(row)
+                continue
+            host_count[h] = host_count.get(h, 0) + 1
+            wave.append(row)
+        if not wave and deferred:  # progress guarantee on full deferral
+            wave.append(deferred.pop(0))
+        self._head.extendleft(reversed(deferred))
+        self._count -= len(wave)
+        return wave
+
+    # -- checkpoint ------------------------------------------------------
+    def _rows_to_table(self, rows: list[tuple[str, int, int, int]], round_no: int = 0) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "url": [r[0] for r in rows],
+                "host": [hostname_of(r[0]) for r in rows],
+                "depth": pa.array([r[1] for r in rows], pa.int32()),
+                "seed_order": pa.array([r[2] for r in rows], pa.int32()),
+                "discovery_seq": pa.array([r[3] for r in rows], pa.int64()),
+                "job_id": [self.job_id] * len(rows),
+                "round": pa.array([round_no] * len(rows), pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+
+    @staticmethod
+    def _table_to_rows(t: pa.Table) -> list[tuple[str, int, int, int]]:
+        return list(
+            zip(
+                t.column("url").to_pylist(),
+                t.column("depth").to_pylist(),
+                t.column("seed_order").to_pylist(),
+                t.column("discovery_seq").to_pylist(),
+            )
+        )
+
+    def dump(self, round_no: int = 0) -> pa.Table:
+        rows = list(self._head)
+        for seg in self._segments:
+            rows.extend(self._table_to_rows(pq.read_table(seg)))
+        rows.extend(self._tail)
+        return self._rows_to_table(rows, round_no)
+
+    def restore(self, table: pa.Table) -> None:
+        self._head = deque(self._table_to_rows(table))
+        self._tail.clear()
+        self._segments.clear()
+        self._count = len(self._head)
+        self._next_seq = (
+            max(r[3] for r in self._head) + 1 if len(self._head) else self._next_seq
+        )

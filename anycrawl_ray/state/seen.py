@@ -1,0 +1,201 @@
+"""Sharded URL-seen-set actors — the crawl's membership state.
+
+Replaces the reference's per-job exact seen structures (Crawlee uniqueKey
+index, reference packages/scrape/src/engines/Base.ts:464-473; coordinator
+``visited`` Set, utils/crawlCoordinator.ts:26,43-44) with N shard actors:
+
+- routing: ``shard = stable_hash64(url) % n_shards`` — partition-stable, so a
+  URL always lands on the same shard (no cross-shard dup possible).
+- fast path: cuckoo filter per shard; *negative* => definitely new (no exact
+  probe needed); *positive* => verified against the shard's exact backing set
+  (false positives never drop URLs — SURVEY.md §7.5.3).
+- spill: when the cuckoo overflows, the shard flips to a bloom filter rebuilt
+  from the exact set (north_rule "bloom fallback for spill").
+- checkpoint: ``dump()``/``restore()`` round-trips the exact set through an
+  Arrow table (SEEN_SCHEMA) written to Lance/parquet by the pipeline; filters
+  are rebuilt deterministically on restore (SURVEY.md §7.5.6).
+
+Hashing uses polars' stable 64-bit string hash (vectorized, process-stable for
+a fixed seed) — no per-row Python hashing on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+
+from ..schema import SEEN_SCHEMA
+from .cuckoo import BloomFilter, CuckooFilter
+
+HASH_SEED = 1234
+
+
+def stable_hash64(urls: list[str] | pa.Array) -> np.ndarray:
+    """Vectorized stable uint64 hash of URL strings."""
+    s = pl.Series(urls if isinstance(urls, list) else urls.to_pylist())
+    return s.hash(seed=HASH_SEED).to_numpy().astype(np.uint64)
+
+
+class SeenShardCore:
+    """Plain-Python shard logic (actor-wrapped below; also used inline for
+    single-process conformance debugging)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 18):
+        self.shard_id = shard_id
+        self.capacity = capacity
+        self.exact: set[str] = set()
+        self.cuckoo: CuckooFilter | None = CuckooFilter(capacity, seed=shard_id)
+        self.bloom: BloomFilter | None = None
+
+    # -- filter plumbing -------------------------------------------------
+    def _filter_contains(self, hashes: np.ndarray) -> np.ndarray:
+        if self.cuckoo is not None:
+            return self.cuckoo.contains_many(hashes)
+        return self.bloom.contains_many(hashes)
+
+    def _filter_insert(self, hashes: np.ndarray) -> None:
+        if self.cuckoo is not None:
+            self.cuckoo.insert_many(hashes)
+            if self.cuckoo.overflowed or self.cuckoo.size > self.capacity:
+                self._spill_to_bloom()
+        else:
+            self.bloom.insert_many(hashes)
+
+    def _spill_to_bloom(self) -> None:
+        """Cuckoo exceeded capacity: rebuild membership as a bloom over the
+        exact set (growable by powers of two on future pressure)."""
+        self.cuckoo = None
+        self.bloom = BloomFilter(max(self.capacity * 4, len(self.exact) * 2))
+        if self.exact:
+            self.bloom.insert_many(stable_hash64(list(self.exact)))
+
+    # -- public API ------------------------------------------------------
+    def check_and_add(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
+        """True where url was NOT seen before this call (first occurrence wins
+        within the batch). Mirrors pop-time ``visited.has/add`` (:43-44)."""
+        out = np.zeros(len(urls), dtype=bool)
+        maybe = self._filter_contains(hashes)
+        new_hashes = []
+        for i, u in enumerate(urls):
+            if maybe[i] or u in self.exact:
+                # filter positive: exact-verify; in-batch dup: exact hits
+                if u in self.exact:
+                    continue
+            self.exact.add(u)
+            out[i] = True
+            new_hashes.append(hashes[i])
+        if new_hashes:
+            self._filter_insert(np.array(new_hashes, dtype=np.uint64))
+        return out
+
+    def contains(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
+        maybe = self._filter_contains(hashes)
+        out = np.zeros(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            if maybe[i]:
+                out[i] = u in self.exact
+            # negative => definitely unseen (cuckoo w/o overflow, bloom always)
+        return out
+
+    def dump(self) -> pa.Table:
+        urls = sorted(self.exact)  # deterministic checkpoint bytes
+        hashes = stable_hash64(urls) if urls else np.array([], dtype=np.uint64)
+        return pa.Table.from_pydict(
+            {
+                "shard": pa.array([self.shard_id] * len(urls), pa.int32()),
+                "url_hash": pa.array(hashes, pa.uint64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=SEEN_SCHEMA,
+        )
+
+    def restore(self, table: pa.Table) -> None:
+        urls = table.column("url").to_pylist()
+        self.exact = set(urls)
+        self.cuckoo = CuckooFilter(self.capacity, seed=self.shard_id)
+        self.bloom = None
+        if urls:
+            self._filter_insert(stable_hash64(urls))
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "n": len(self.exact),
+            "filter": "cuckoo" if self.cuckoo is not None else "bloom",
+        }
+
+
+SeenShard = ray.remote(SeenShardCore)
+
+
+class SeenSet:
+    """Client facade: routes batches to shard actors, reassembles masks.
+
+    One network round-trip per shard per call; shards work in parallel.
+    """
+
+    def __init__(self, n_shards: int = 4, capacity_per_shard: int = 1 << 18):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.options(num_cpus=0.25).remote(i, capacity_per_shard)
+            for i in range(n_shards)
+        ]
+
+    def _route(self, urls: list[str]) -> tuple[np.ndarray, np.ndarray, list[list[int]]]:
+        hashes = stable_hash64(urls)
+        shard_of = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        groups: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for i, s in enumerate(shard_of):
+            groups[s].append(i)
+        return hashes, shard_of, groups
+
+    def _call(self, method: str, urls: list[str]) -> np.ndarray:
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        hashes, _, groups = self._route(urls)
+        refs, idxs = [], []
+        for s, g in enumerate(groups):
+            if not g:
+                continue
+            refs.append(
+                getattr(self.shards[s], method).remote(
+                    [urls[i] for i in g], hashes[g]
+                )
+            )
+            idxs.append(g)
+        out = np.zeros(len(urls), dtype=bool)
+        for mask, g in zip(ray.get(refs), idxs):
+            out[g] = mask
+        return out
+
+    def check_and_add(self, urls: list[str]) -> np.ndarray:
+        return self._call("check_and_add", urls)
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        return self._call("contains", urls)
+
+    def dump(self) -> pa.Table:
+        tables = ray.get([s.dump.remote() for s in self.shards])
+        return pa.concat_tables(tables)
+
+    def restore(self, table: pa.Table) -> None:
+        shard_col = table.column("shard").to_numpy()
+        ray.get(
+            [
+                s.restore.remote(table.filter(pa.array(shard_col == i)))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def total(self) -> int:
+        return sum(st["n"] for st in self.stats())
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,140 @@
+"""URL canonicalization — the identity function of the URL-seen set.
+
+Mirrors the reference's WHATWG-``new URL(href, base).href`` behaviour as used by
+the crawl coordinator + HTML transformer:
+
+- malformed-scheme repair ``http:/x`` -> ``http://x``
+  (reference packages/scrape/src/core/transformers/HTMLTransformer.ts:514-532)
+- relative-URL resolution against the page URL
+  (reference packages/scrape/src/core/DataExtractor.ts:490-494 via
+  crawlee ``extractUrlsFromCheerio($, 'a[href]', baseUrl)``)
+- the coordinator's ``visited`` set compares full resolved URL strings —
+  fragments are KEPT (reference packages/scrape/src/utils/crawlCoordinator.ts:43-44);
+  only the map/dedup path strips fragments
+  (reference packages/scrape/src/services/MapService.ts:271-273).
+
+Both the conformance reference model (``refmodel.py``) and the Ray pipeline
+(``pipelines/crawl.py``) call exactly these functions, so seen-set identity is
+byte-for-byte shared.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def repair_scheme(url: str) -> str:
+    """``http:/example.com`` -> ``http://example.com`` (and https variant).
+
+    reference packages/scrape/src/core/transformers/HTMLTransformer.ts:516-522
+    """
+    if url.startswith("http:/") and not url.startswith("http://"):
+        return "http://" + url[6:]
+    if url.startswith("https:/") and not url.startswith("https://"):
+        return "https://" + url[7:]
+    return url
+
+
+def canonicalize_url(href: str, base: str | None = None) -> str:
+    """Resolve ``href`` against ``base`` and normalize like WHATWG URL.href.
+
+    Normalizations applied (all of which ``new URL(...).href`` performs):
+    lowercase scheme+host, strip default port, empty path -> "/", keep query
+    and fragment verbatim. On unparsable input, returns the input unchanged
+    (reference HTMLTransformer.ts:527-531 returns the original URL on failure).
+    """
+    href = repair_scheme(href.strip())
+    try:
+        resolved = urljoin(base, href) if base else href
+        parts = urlsplit(resolved)
+        if not parts.scheme or not parts.netloc:
+            return href
+        scheme = parts.scheme.lower()
+        netloc = parts.netloc
+        host, sep, port = netloc.partition(":")
+        host = host.lower()
+        if sep and port == _DEFAULT_PORTS.get(scheme, None):
+            netloc = host
+        elif sep:
+            netloc = f"{host}:{port}"
+        else:
+            netloc = host
+        path = parts.path or "/"
+        return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+    except ValueError:
+        return href
+
+
+def strip_fragment(url: str) -> str:
+    """``url.split('#')[0]`` — map-path dedup identity.
+
+    reference packages/scrape/src/services/MapService.ts:271-273
+    """
+    return url.split("#", 1)[0]
+
+
+def hostname_of(url: str) -> str:
+    """Hostname (no port), lowercased; '' on failure.
+
+    reference packages/scrape/src/utils/crawlCoordinator.ts:144-145
+    """
+    try:
+        host = urlsplit(url).hostname
+        return host or ""
+    except ValueError:
+        return ""
+
+
+def origin_of(url: str) -> str:
+    """scheme://host[:non-default-port] — WHATWG ``URL.origin``.
+
+    reference packages/scrape/src/utils/crawlCoordinator.ts:147-148
+    """
+    try:
+        parts = urlsplit(url)
+        if not parts.scheme or not parts.hostname:
+            return ""
+        scheme = parts.scheme.lower()
+        host = parts.hostname.lower()
+        port = parts.port
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+            return f"{scheme}://{host}:{port}"
+        return f"{scheme}://{host}"
+    except ValueError:
+        return ""
+
+
+def base_domain_of(url: str) -> str:
+    """Registrable-ish domain: last two labels of the hostname.
+
+    reference packages/scrape/src/services/MapService.ts:325-329 (naive
+    two-label heuristic; no PSL in the reference either).
+    """
+    host = hostname_of(url)
+    if not host:
+        return ""
+    labels = host.split(".")
+    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+
+def matches_strategy(url: str, seed_url: str, strategy: str) -> bool:
+    """Crawl-scope strategy filter.
+
+    reference packages/scrape/src/utils/crawlCoordinator.ts:138-153
+    (note: the coordinator's "same-domain" compares *hostnames* — transcribed
+    faithfully; enum packages/libs/src/types/CrawlSchema.ts:43 also has
+    same-hostname which the engine path maps to Crawlee's same-hostname).
+    """
+    seed_host = hostname_of(seed_url)
+    url_host = hostname_of(url)
+    if not seed_host or not url_host:
+        return False
+    if strategy == "same-domain":
+        return url_host == seed_host
+    if strategy == "same-hostname":
+        return url_host == seed_host
+    if strategy == "same-origin":
+        return origin_of(url) == origin_of(seed_url)
+    return True  # "all"

@@ -1,0 +1,143 @@
+"""Crawl conformance: Ray pipeline ≡ transcribed reference BFS, byte-for-byte.
+
+FIXTURES.md §C: seeds × strategy × limit × max_depth × path filters ×
+politeness. Golden = refmodel.run_reference_crawl (the single-threaded
+transcription of reference packages/scrape/src/utils/crawlCoordinator.ts).
+Compared: crawl order (url, depth, ok sequence), final URL-seen set,
+completed/failed counters, and per-row span-sequence equality.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from anycrawl_ray.corpus import CorpusIndex
+from anycrawl_ray.pipelines.crawl import CrawlRunConfig, run_crawl
+from anycrawl_ray.refmodel import CrawlOptions, SyntheticFetcher, run_reference_crawl
+
+SEED = "http://h00.example.test/p/0000"
+
+
+def assert_conformance(small_corpus, seed, opts, cfg=None, **run_kw):
+    idx = CorpusIndex(small_corpus)
+    golden = run_reference_crawl(seed, opts, SyntheticFetcher(idx))
+    out = run_crawl(seed, opts, small_corpus, cfg or CrawlRunConfig(), **run_kw)
+    assert out.order == golden.order, (
+        f"crawl order mismatch:\n ray={out.order}\n ref={golden.order}"
+    )
+    assert out.completed == golden.completed
+    assert out.failed == golden.failed
+    assert out.visited_count == len(golden.visited)
+    assert out.rounds == golden.rounds
+    return golden, out
+
+
+@pytest.mark.parametrize("limit", [1, 7, 30])
+def test_limits(ray_session, small_corpus, limit):
+    assert_conformance(small_corpus, SEED, CrawlOptions(limit=limit))
+
+
+@pytest.mark.parametrize("strategy", ["same-domain", "same-origin", "all"])
+def test_strategies(ray_session, small_corpus, strategy):
+    assert_conformance(small_corpus, SEED, CrawlOptions(limit=25, strategy=strategy))
+
+
+@pytest.mark.parametrize("max_depth", [1, 2, 10])
+def test_depths(ray_session, small_corpus, max_depth):
+    assert_conformance(small_corpus, SEED, CrawlOptions(limit=40, max_depth=max_depth))
+
+
+def test_include_exclude(ray_session, small_corpus):
+    opts = CrawlOptions(
+        limit=25,
+        include_paths=("http://h00.example.test/p/00*",),
+        exclude_paths=("http://h00.example.test/p/000[5-9]*",),
+    )
+    assert_conformance(small_corpus, SEED, opts)
+
+
+def test_regex_include(ray_session, small_corpus):
+    opts = CrawlOptions(limit=20, include_paths=(r"/p\/00[0-3]\d(#|$)/",))
+    assert_conformance(small_corpus, SEED, opts)
+
+
+def test_other_seed_cross_host(ray_session, small_corpus):
+    assert_conformance(
+        small_corpus, "http://h02.example.test/p/0001", CrawlOptions(limit=30, strategy="all")
+    )
+
+
+def test_politeness_per_host_cap(ray_session, small_corpus):
+    opts = CrawlOptions(limit=30, strategy="all", per_host_cap=2)
+    assert_conformance(small_corpus, SEED, opts)
+
+
+def test_robots_filter(ray_session, small_corpus):
+    robots = {"h00.example.test": ["/p/000"], "h01.example.test": ["/p/"]}
+    opts = CrawlOptions(limit=30, strategy="all", robots=robots)
+    golden, out = assert_conformance(small_corpus, SEED, opts)
+    # seed bypasses robots; later /p/000* links on h00 are never fetched
+    fetched = [u for u, _, _ in out.order]
+    assert fetched[0] == SEED
+    assert all(
+        not u.startswith("http://h00.example.test/p/000") for u in fetched[1:]
+    )
+    assert all(not u.startswith("http://h01.example.test/") for u in fetched)
+
+
+def test_dataset_executor_matches_pool(ray_session, small_corpus):
+    opts = CrawlOptions(limit=30, strategy="all", wave_size=16)
+    cfg = CrawlRunConfig(executor="dataset", n_fetch_workers=2, dataset_batch_size=4)
+    assert_conformance(small_corpus, SEED, opts, cfg)
+
+
+def test_span_sequence_equality(ray_session, small_corpus, tmp_path):
+    """Per-row invariant vs reference: span-sequence equality
+    (kind, text, media_ref, order) — BASELINE.json input_hint."""
+    opts = CrawlOptions(limit=15)
+    cfg = CrawlRunConfig(spans_out_dir=str(tmp_path / "spans"))
+    idx = CorpusIndex(small_corpus)
+    golden = run_reference_crawl(SEED, opts, SyntheticFetcher(idx))
+    out = run_crawl(SEED, opts, small_corpus, cfg)
+    assert out.order == golden.order
+
+    t = pq.read_table(str(tmp_path / "spans"))
+    by_url = {t.column("url")[i].as_py(): t.column("spans")[i].as_py() for i in range(t.num_rows)}
+    ok_urls = [u for u, _, ok in golden.order if ok]
+    assert set(by_url) >= set(ok_urls)
+    for u, row_idx in zip(ok_urls, golden.fetched_rows):
+        ref_spans = small_corpus.column("spans")[row_idx].as_py()
+        got = by_url[u]
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ref_spans]
+
+
+def test_counters_lineage(ray_session, small_corpus):
+    opts = CrawlOptions(limit=30)
+    _, out = assert_conformance(small_corpus, SEED, opts)
+    c = out.counters.to_pylist()
+    assert len(c) == out.rounds
+    assert sum(r["done"] for r in c) == out.completed + out.failed
+    assert sum(r["succeeded"] for r in c) == out.completed
+    assert sum(r["failed"] for r in c) == out.failed
+
+
+def test_checkpoint_resume(ray_session, small_corpus, tmp_path):
+    """Kill after round 2, resume from checkpoint, result identical to a
+    straight-through run (north_rule resumability)."""
+    opts = CrawlOptions(limit=30)
+    full = run_crawl(SEED, opts, small_corpus, CrawlRunConfig())
+
+    ck = str(tmp_path / "ck")
+    partial = run_crawl(
+        SEED, opts, small_corpus,
+        CrawlRunConfig(checkpoint_dir=ck, stop_after_rounds=2),
+    )
+    assert partial.rounds == 2  # crashed mid-crawl
+    resumed = run_crawl(
+        SEED, opts, small_corpus, CrawlRunConfig(checkpoint_dir=ck), resume=True
+    )
+    assert resumed.order == full.order
+    assert resumed.completed == full.completed
+    assert resumed.failed == full.failed
+    assert resumed.visited_count == full.visited_count
