@@ -39,9 +39,10 @@ class CorpusConfig:
     media_every: int = 3        # a media span after every k-th text span
     dead_link_rate: float = 0.05
     hot_host_share: float = 0.4  # fraction of pages on host 0 (skew)
+    span_chars: int = 80         # text chars per span (bench uses larger pages)
 
     def cache_key(self, sf_dir: str) -> str:
-        raw = f"{sf_dir}|{self.n_hosts}|{self.n_pages}|{self.seed}|{self.mean_links}|{self.mean_text}|{self.media_every}|{self.dead_link_rate}|{self.hot_host_share}"
+        raw = f"{sf_dir}|{self.n_hosts}|{self.n_pages}|{self.seed}|{self.mean_links}|{self.mean_text}|{self.media_every}|{self.dead_link_rate}|{self.hot_host_share}|{self.span_chars}"
         return hashlib.sha256(raw.encode()).hexdigest()[:16]
 
 
@@ -99,8 +100,11 @@ def generate_corpus(sf_dir: str, cfg: CorpusConfig = CorpusConfig()) -> pa.Table
         n_text = 1 + rng.randint(0, cfg.mean_text * 2)
         for k in range(n_text):
             src = doc_texts[(gi * 7 + k * 13) % n_src]
-            lo = rng.randint(0, max(1, len(src) - 80))
-            add("text", f"## {host}/p{pid} s{k}\n" + src[lo : lo + 80])
+            body = src
+            while len(body) < cfg.span_chars:  # tile source text to span size
+                body = body + " " + src
+            lo = rng.randint(0, max(1, len(body) - cfg.span_chars))
+            add("text", f"## {host}/p{pid} s{k}\n" + body[lo : lo + cfg.span_chars])
             if (k + 1) % cfg.media_every == 0:
                 add("media", "", f"img://{host}/p{pid}/{k}")
                 if rng.rand() < 0.3:
@@ -185,8 +189,31 @@ class CorpusIndex:
 
     def __init__(self, table: pa.Table):
         self.table = table
-        ids = table.column("doc_id").to_pylist()
-        self.by_url = {u: i for i, u in enumerate(ids)}
+        # Zero-copy init (runs once per fetch actor — N actors × a corpus copy
+        # would saturate memory bandwidth): sorted-array lookup instead of a
+        # Python dict, and the spans column used as-is (single parquet/plasma
+        # chunk -> combine_chunks is a no-op).
+        ids = np.asarray(table.column("doc_id"))
+        self._order = np.argsort(ids).astype(np.int64)
+        self._sorted_ids = ids[self._order]
+        # Keep the spans column AS-IS (chunked, plasma-backed): combining
+        # chunks here would copy the whole corpus into every actor's private
+        # memory — N actors × full-corpus memcpy saturates memory bandwidth.
+        self.spans_col = table.column("spans")
+        self._span_struct = (
+            self.spans_col.chunk(0).values.slice(0, 0)
+            if isinstance(self.spans_col, pa.ChunkedArray) and self.spans_col.num_chunks
+            else pa.array([], self.spans_col.type.value_type)
+        )
+
+    def lookup_batch(self, keys: list[str]) -> np.ndarray:
+        """Row index per key, -1 for misses (vectorized searchsorted)."""
+        k = np.asarray(keys, dtype=object)
+        pos = np.searchsorted(self._sorted_ids, k)
+        pos = np.clip(pos, 0, len(self._sorted_ids) - 1)
+        hit = self._sorted_ids[pos] == k
+        return np.where(hit, self._order[pos], -1)
 
     def lookup(self, url: str) -> int | None:
-        return self.by_url.get(strip_fragment(canonicalize_url(url)))
+        r = int(self.lookup_batch([strip_fragment(canonicalize_url(url))])[0])
+        return None if r < 0 else r

@@ -46,6 +46,32 @@ class Frontier:
     def __len__(self) -> int:
         return self._count
 
+    def push_rows(self, urls: list[str], depths) -> None:
+        """Bulk FIFO append with per-row depths (order == repeated push)."""
+        start = self._next_seq
+        rows = [(u, int(d), 0, start + i) for i, (u, d) in enumerate(zip(urls, depths))]
+        self._next_seq += len(rows)
+        self._count += len(rows)
+        if self._segments or self._tail or len(self._head) >= self.spill_threshold:
+            self._tail.extend(rows)
+            while len(self._tail) >= self.segment_rows and self.spill_dir:
+                self._spill_tail()
+        else:
+            self._head.extend(rows)
+
+    def push_batch(self, urls: list[str], depth: int, seed_order: int = 0) -> None:
+        """Bulk FIFO append (identical order/seq semantics to repeated push)."""
+        start = self._next_seq
+        rows = [(u, depth, seed_order, start + i) for i, u in enumerate(urls)]
+        self._next_seq += len(rows)
+        self._count += len(rows)
+        if self._segments or self._tail or len(self._head) >= self.spill_threshold:
+            self._tail.extend(rows)
+            while len(self._tail) >= self.segment_rows and self.spill_dir:
+                self._spill_tail()
+        else:
+            self._head.extend(rows)
+
     def push(self, url: str, depth: int, seed_order: int = 0) -> int:
         seq = self._next_seq
         self._next_seq += 1

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (list<float>).
+
+- brute-force cosine top-k: the exact baseline. Query matrix is broadcast
+  (``ray.put`` once); each map_batches task does one numpy matmul against its
+  batch and keeps a local top-k; the driver merges tiny partial top-ks.
+  Never materializes the full similarity matrix.
+- IVF (inverted-file) variant: deterministic k-means-lite centroids fitted on
+  a sample, batches assigned to cells, queries probe only ``nprobe`` cells —
+  the scale path (cuts the matmul by ncells/nprobe).
+
+Embedding batches convert zero-copy-ish via Arrow FixedSizeList/ List ->
+numpy reshape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import l2_normalize
+
+
+def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix without per-row Python."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = arr.offsets.to_numpy()
+    d = offsets[1] - offsets[0]
+    return flat.reshape(len(arr), d)
+
+
+class TopKMerger:
+    """Merge per-batch partial top-ks into a global top-k (driver-side, tiny)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.ids: list[int] = []
+        self.scores: list[float] = []
+
+    def offer(self, ids: np.ndarray, scores: np.ndarray) -> None:
+        self.ids.extend(int(i) for i in ids)
+        self.scores.extend(float(s) for s in scores)
+
+    def result(self) -> list[tuple[int, float]]:
+        order = sorted(
+            range(len(self.ids)), key=lambda i: (-self.scores[i], self.ids[i])
+        )[: self.k]
+        return [(self.ids[i], self.scores[i]) for i in order]
+
+
+def batch_topk(
+    batch_ids: np.ndarray, batch_mat: np.ndarray, query: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Local top-k of cosine(query, row) for one batch; ties -> smaller id."""
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    sims = l2_normalize(batch_mat) @ qn
+    if len(sims) <= k:
+        idx = np.arange(len(sims))
+    else:
+        idx = np.argpartition(-sims, k)[:k]
+    order = np.lexsort((batch_ids[idx], -sims[idx]))
+    idx = idx[order]
+    return batch_ids[idx], sims[idx]
+
+
+def kmeans_lite(
+    mat: np.ndarray, n_cells: int, iters: int = 5, seed: int = 17
+) -> np.ndarray:
+    """Deterministic small k-means for IVF coarse quantization."""
+    rng = np.random.RandomState(seed)
+    n = len(mat)
+    centroids = mat[rng.choice(n, size=min(n_cells, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(l2_normalize(mat) @ l2_normalize(centroids).T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IVFIndex:
+    """Inverted-file ANN: probe nprobe nearest cells only."""
+
+    def __init__(self, ids: np.ndarray, mat: np.ndarray, n_cells: int = 16, seed: int = 17):
+        self.centroids = kmeans_lite(mat, n_cells, seed=seed)
+        assign = np.argmax(l2_normalize(mat) @ l2_normalize(self.centroids).T, axis=1)
+        self.cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for c in range(len(self.centroids)):
+            m = assign == c
+            if m.any():
+                self.cells[c] = (ids[m], l2_normalize(mat[m]))
+
+    def search(self, query: np.ndarray, k: int, nprobe: int = 4) -> list[tuple[int, float]]:
+        qn = query / max(np.linalg.norm(query), 1e-12)
+        cell_order = np.argsort(-(l2_normalize(self.centroids) @ qn))
+        merger = TopKMerger(k)
+        probed = 0
+        for c in cell_order:
+            if int(c) not in self.cells:
+                continue
+            ids, mat = self.cells[int(c)]
+            sims = mat @ qn
+            merger.offer(ids, sims)
+            probed += 1
+            if probed >= nprobe:
+                break
+        return merger.result()

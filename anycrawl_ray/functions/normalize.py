@@ -61,6 +61,11 @@ def hash_content(normalized: str) -> str:
     return hashlib.sha256(normalized.encode("utf-8")).hexdigest()
 
 
+def hash_content_md5(normalized: str) -> str:
+    """md5 variant for DuckDB-oracle parity (duckdb ships md5())."""
+    return hashlib.md5(normalized.encode("utf-8")).hexdigest()
+
+
 def truncate_for_storage(content: str, max_chars: int = MAX_INLINE_CHARS) -> str:
     if len(content) <= max_chars:
         return content

@@ -25,16 +25,21 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
 from ..frontier import Frontier
-from ..pathmatch import PathMatcher
-from ..refmodel import CrawlOptions, robots_disallowed
-from ..schema import COUNTERS_SCHEMA, FETCH_SCHEMA
-from ..stages.fetch import FetchParseActor, FetchWorker
+from ..refmodel import CrawlOptions
+from ..schema import COUNTERS_SCHEMA
+from ..stages.fetch import (
+    FETCH_META_SCHEMA,
+    FetchParseActor,
+    FetchWorker,
+    JobContext,
+)
 from ..state.seen import SeenSet
-from ..urlnorm import canonicalize_url, hostname_of, matches_strategy
+from ..urlnorm import canonicalize_url
 
 
 @dataclass
@@ -49,6 +54,8 @@ class CrawlRunConfig:
     spans_out_dir: str | None = None
     frontier_spill_threshold: int = 1_000_000
     stop_after_rounds: int = 0  # crash simulation: checkpoint + stop mid-crawl
+    visited_mirror_cap: int = 10_000_000  # driver-side contains() cache bound
+    render_iters: int = 0  # per-page fetch/render CPU model (JobContext doc)
 
 
 @dataclass
@@ -62,6 +69,8 @@ class CrawlOutput:
     spans_dir: str | None = None
     total_bytes: int = 0
     fetched_rows: list[int] = field(default_factory=list)
+    frontier_ops: int = 0  # pushes + pops + seen-set membership ops (bench metric)
+    timings: dict = field(default_factory=dict)  # phase -> seconds (perf debug)
 
     def order_table(self) -> pa.Table:
         return pa.Table.from_pydict(
@@ -75,23 +84,51 @@ class CrawlOutput:
 
 
 class _PoolExecutor:
-    """Persistent FetchWorker pool — low latency for small waves."""
+    """Persistent FetchWorker pool — low latency, no per-round actor churn."""
 
-    def __init__(self, corpus_ref, n_workers: int):
+    MIN_CHUNK = 128  # per-task overhead (~10-20ms) vs ~0.1ms/row of work
+
+    def __init__(self, corpus_ref, n_workers: int, ctx: JobContext):
         # fractional num_cpus: workers + seen shards + driver must co-schedule
         # even at num_cpus=4 (test sessions); fetch is I/O-shaped anyway
         self.workers = [
-            FetchWorker.options(num_cpus=0.5).remote(corpus_ref) for _ in range(n_workers)
+            FetchWorker.options(num_cpus=0.5).remote([corpus_ref], ctx)
+            for _ in range(n_workers)
         ]
+        # ASYNC warm-up: actors spawn + import + build their index in the
+        # background while the crawl's early (small) waves run on whichever
+        # workers are already up. Blocking here would serialize ~2-3s of
+        # cold-start into every job; blocking per-round (no warm-up at all)
+        # pays it again every time a growing wave first touches a cold actor.
+        self._ping_refs = [
+            w.ping.remote(touch=(i == 0)) for i, w in enumerate(self.workers)
+        ]
+        self._ready: list[int] = []
+        ray.get(self._ping_refs[0])  # at least one worker must be live
+        self._ready.append(0)
 
-    def fetch(self, table: pa.Table) -> pa.Table:
+    def _ready_workers(self) -> list:
+        if len(self._ready) < len(self.workers):
+            done, _ = ray.wait(
+                self._ping_refs, num_returns=len(self._ping_refs), timeout=0
+            )
+            done_set = set(done)
+            self._ready = [
+                i for i, r in enumerate(self._ping_refs) if r in done_set
+            ] or [0]
+        return [self.workers[i] for i in self._ready]
+
+    def fetch(self, table: pa.Table, round_no: int) -> pa.Table:
         n = table.num_rows
         if n == 0:
-            return table.cast(FETCH_SCHEMA) if table.schema.equals(FETCH_SCHEMA) else pa.Table.from_pylist([], FETCH_SCHEMA)
-        k = min(len(self.workers), n)
+            return pa.Table.from_pylist([], FETCH_META_SCHEMA)
+        workers = self._ready_workers()
+        k = min(len(workers), max(1, (n + self.MIN_CHUNK - 1) // self.MIN_CHUNK))
         bounds = np.linspace(0, n, k + 1).astype(int)
         refs = [
-            self.workers[i].fetch.remote(table.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            workers[i % len(workers)].fetch.remote(
+                table.slice(bounds[i], bounds[i + 1] - bounds[i]), round_no, i
+            )
             for i in range(k)
             if bounds[i + 1] > bounds[i]
         ]
@@ -104,20 +141,29 @@ class _PoolExecutor:
 
 
 class _DatasetExecutor:
-    """ray.data map_batches actor-pool — the production/scale path."""
+    """ray.data map_batches actor-pool — per-round Dataset execution.
 
-    def __init__(self, corpus_ref, concurrency: int, batch_size: int):
+    Parity path for conformance; the pool executor is preferred for a
+    continuous frontier loop because map_batches recreates its actor pool
+    every round (reference keeps crawler processes alive for the whole job).
+    """
+
+    def __init__(self, corpus_ref, concurrency: int, batch_size: int, ctx: JobContext):
         self.corpus_ref = corpus_ref
         self.concurrency = concurrency
         self.batch_size = batch_size
+        self.ctx = ctx
 
-    def fetch(self, table: pa.Table) -> pa.Table:
+    def fetch(self, table: pa.Table, round_no: int) -> pa.Table:
+        import dataclasses
+
         if table.num_rows == 0:
-            return pa.Table.from_pylist([], FETCH_SCHEMA)
+            return pa.Table.from_pylist([], FETCH_META_SCHEMA)
+        ctx = dataclasses.replace(self.ctx, round_no=round_no)
         ds = ray.data.from_arrow(table)
         out = ds.map_batches(
             FetchParseActor,
-            fn_constructor_args=(self.corpus_ref,),
+            fn_constructor_args=([self.corpus_ref], ctx),
             concurrency=self.concurrency,
             batch_size=self.batch_size,
             batch_format="pyarrow",
@@ -149,25 +195,51 @@ def run_crawl(
     )
     out = CrawlOutput(spans_dir=cfg.spans_out_dir)
     counters_rows: list[dict] = []
-    matcher = PathMatcher(list(opts.include_paths), list(opts.exclude_paths))
     seed = canonicalize_url(seed_url)
+    ctx = JobContext(
+        seed=seed,
+        strategy=opts.strategy,
+        include_paths=tuple(opts.include_paths),
+        exclude_paths=tuple(opts.exclude_paths),
+        robots=opts.robots,
+        spans_dir=cfg.spans_out_dir,
+        render_iters=cfg.render_iters,
+    )
 
+    visited_mirror: set[str] = set()
+    mirror_complete = True
     start_round = 0
     if resume and cfg.checkpoint_dir and os.path.exists(os.path.join(cfg.checkpoint_dir, "meta.json")):
         start_round = _restore(cfg, seen, frontier, out, counters_rows)
+        ck_seen = pq.read_table(os.path.join(cfg.checkpoint_dir, "seen.parquet"))
+        if ck_seen.num_rows <= cfg.visited_mirror_cap:
+            visited_mirror.update(ck_seen.column("url").to_pylist())
+        else:
+            mirror_complete = False
     else:
         frontier.push(seed, 0, 0)
 
     use_pool = cfg.executor == "pool" or (cfg.executor == "auto" and opts.wave_size <= 64)
+    # never create more workers than the wave can feed (idle actors still pay
+    # cold-start imports that contend with the crawl on small machines)
+    usable = max(1, (opts.wave_size + _PoolExecutor.MIN_CHUNK - 1) // _PoolExecutor.MIN_CHUNK)
+    n_workers = min(cfg.n_fetch_workers, usable)
     executor = (
-        _PoolExecutor(corpus_ref, cfg.n_fetch_workers)
+        _PoolExecutor(corpus_ref, n_workers, ctx)
         if use_pool
-        else _DatasetExecutor(corpus_ref, cfg.n_fetch_workers, cfg.dataset_batch_size)
+        else _DatasetExecutor(corpus_ref, n_workers, cfg.dataset_batch_size, ctx)
     )
+
+    import time as _time
+
+    def _tick(phase, t0):
+        out.timings[phase] = out.timings.get(phase, 0.0) + (_time.perf_counter() - t0)
+        return _time.perf_counter()
 
     try:
         round_no = start_round
         while len(frontier) > 0 and out.completed + out.failed < opts.limit:
+            _t = _time.perf_counter()
             batch_size = min(opts.wave_size, opts.limit - out.completed - out.failed)
             wave = frontier.pop_wave(batch_size, opts.per_host_cap)
             if not wave:
@@ -175,9 +247,18 @@ def run_crawl(
             round_no += 1
             out.rounds += 1
 
+            _t = _tick("wave_form", _t)
             # pop-time visited check+add, wave order (coordinator :42-44)
             wave_urls = [w[0] for w in wave]
             newly = seen.check_and_add(wave_urls)
+            out.frontier_ops += 2 * len(wave)  # pops + check_and_add
+            if mirror_complete:
+                visited_mirror.update(
+                    u for u, is_new in zip(wave_urls, newly) if is_new
+                )
+                if len(visited_mirror) > cfg.visited_mirror_cap:
+                    mirror_complete = False  # overflow: shards take over contains()
+                    visited_mirror.clear()
 
             fetch_idx = np.flatnonzero(newly)
             wave_table = pa.Table.from_pydict(
@@ -188,56 +269,97 @@ def run_crawl(
                     "discovery_seq": pa.array([int(i) for i in fetch_idx], pa.int64()),
                 }
             )
-            results = executor.fetch(wave_table)  # sorted by within-wave pos
+            _t = _tick("seen_add", _t)
+            results = executor.fetch(wave_table, round_no)  # sorted by wave pos
+            _t = _tick("fetch", _t)
 
             # counters + crawl order, wave order (coordinator :81-85)
-            ok_col = results.column("ok").to_pylist() if results.num_rows else []
-            links_col = results.column("links").to_pylist() if results.num_rows else []
-            depth_col = results.column("depth").to_pylist() if results.num_rows else []
-            n_ok = sum(ok_col)
-            succ_delta, fail_delta = n_ok, len(ok_col) - n_ok
-            for j in range(results.num_rows):
-                u = results.column("url")[j].as_py()
-                out.order.append((u, depth_col[j], ok_col[j]))
+            nrows = results.num_rows
+            ok_np = results.column("ok").to_numpy(zero_copy_only=False) if nrows else np.zeros(0, bool)
+            depth_np = results.column("depth").to_numpy(zero_copy_only=False).astype(np.int64) if nrows else np.zeros(0, np.int64)
+            url_col = results.column("url").to_pylist() if nrows else []
+            n_ok = int(ok_np.sum())
+            succ_delta, fail_delta = n_ok, nrows - n_ok
+            for j in range(nrows):
+                out.order.append((url_col[j], int(depth_np[j]), bool(ok_np[j])))
             out.completed += succ_delta
             out.failed += fail_delta
-            out.total_bytes += sum(results.column("bytes").to_pylist()) if results.num_rows else 0
+            out.total_bytes += int(results.column("bytes").to_numpy().sum()) if nrows else 0
 
-            # persist spans for this round (resumable partitioned output, S6)
-            if cfg.spans_out_dir and results.num_rows:
-                rd = os.path.join(cfg.spans_out_dir, f"round={round_no:05d}")
-                os.makedirs(rd, exist_ok=True)
-                pq.write_table(
-                    results.select(["url", "host", "depth", "status_code", "ok", "spans", "bytes"]),
-                    os.path.join(rd, "part-0.parquet"),
-                )
-
-            # link expansion, wave order then document order (coordinator :103-117)
-            all_links = [l for links in links_col for l in links]
-            uniq = list(dict.fromkeys(all_links))
-            vis_mask = seen.contains(uniq) if uniq else np.zeros(0, dtype=bool)
-            visited_map = dict(zip(uniq, vis_mask))
+            # link expansion, wave order then document order (coordinator
+            # :103-117). Strategy/path/robots eligibility was computed
+            # vectorized INSIDE the fetch stage (links_elig); here only
+            # visited + the growing-pending limit remain. Candidate masks are
+            # computed in Arrow/numpy over the flattened link list; Python
+            # strings materialize ONLY for surviving links.
+            links_arr = results.column("links").combine_chunks() if nrows else None
+            if nrows:
+                lens = pc.list_value_length(links_arr).to_numpy(zero_copy_only=False)
+                flat_links = pc.list_flatten(links_arr)
+                flat_elig = pc.list_flatten(
+                    results.column("links_elig").combine_chunks()
+                ).to_numpy(zero_copy_only=False)
+                row_of = np.repeat(np.arange(nrows), lens)
+                n_links_total = len(flat_links)
+            else:
+                n_links_total = 0
+            _t = _tick("meta_cols", _t)
+            out.frontier_ops += n_links_total  # membership probes
             enq_delta = 0
-            for j in range(results.num_rows):
-                if not ok_col[j]:
-                    continue
-                depth = depth_col[j]
-                if depth >= opts.max_depth:
-                    continue
-                links = links_col[j]
-                strat = [matches_strategy(l, seed, opts.strategy) for l in links]
-                paths = matcher.match_many(links)
-                for l, s_ok, p_ok in zip(links, strat, paths):
-                    # coordinator :108-112 — len(pending) grows as links push
-                    if visited_map.get(l, False) or out.completed + out.failed + len(frontier) >= opts.limit:
+            # fast path: when even pushing EVERY candidate cannot reach the
+            # limit, the per-link budget check is vacuous — one vectorized
+            # filter + bulk append (order preserved: wave, then document)
+            budget_safe = (
+                out.completed + out.failed + len(frontier) + n_links_total
+                < opts.limit
+            )
+            if nrows and budget_safe:
+                row_live = ok_np & (depth_np < opts.max_depth)
+                keep = flat_elig & row_live[row_of]
+                cand = flat_links.filter(pa.array(keep)).to_pylist()
+                cand_rows = row_of[keep]
+                if mirror_complete:
+                    not_vis = np.fromiter(
+                        (l not in visited_mirror for l in cand), bool, len(cand)
+                    )
+                else:
+                    uniq = list(dict.fromkeys(cand))
+                    vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
+                    vset = {u for u, v in zip(uniq, vis) if v}
+                    not_vis = np.fromiter((l not in vset for l in cand), bool, len(cand))
+                _t = _tick("visited_probe", _t)
+                accepted = [l for l, v in zip(cand, not_vis) if v]
+                frontier.push_rows(accepted, depth_np[cand_rows[not_vis]] + 1)
+                enq_delta = len(accepted)
+                out.frontier_ops += enq_delta
+            elif nrows:
+                links_col = links_arr.to_pylist()
+                elig_col = results.column("links_elig").to_pylist()
+                if mirror_complete:
+                    visited_map = visited_mirror
+                else:
+                    all_links = [l for links in links_col for l in links]
+                    uniq = list(dict.fromkeys(all_links))
+                    vis_mask = seen.contains(uniq) if uniq else np.zeros(0, bool)
+                    visited_map = {u for u, v in zip(uniq, vis_mask) if v}
+                _t = _tick("visited_probe", _t)
+                for j in range(nrows):
+                    if not ok_np[j]:
                         continue
-                    if not s_ok or not p_ok:
+                    depth = int(depth_np[j])
+                    if depth >= opts.max_depth:
                         continue
-                    if robots_disallowed(l, opts.robots):
-                        continue
-                    frontier.push(l, depth + 1, 0)
-                    enq_delta += 1
+                    for l, e_ok in zip(links_col[j], elig_col[j]):
+                        # coordinator :108-112 — len(pending) grows as pushed
+                        if l in visited_map or out.completed + out.failed + len(frontier) >= opts.limit:
+                            continue
+                        if not e_ok:
+                            continue
+                        frontier.push(l, depth + 1, 0)
+                        enq_delta += 1
+                        out.frontier_ops += 1  # push
 
+            _t = _tick("link_push", _t)
             counters_rows.append(
                 {
                     "job_id": cfg.job_id,

@@ -1,0 +1,734 @@
+"""queries() / oracle_sql() registry — the driver's correctness gate.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text analysis / multimodal).
+Each Ray callable takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table; SQL-expressible ones have a DuckDB oracle with IDENTICAL
+column names and value arithmetic (aggregate doubles rounded the same way on
+both sides). Non-SQL ops (crawl BFS, minhash/simhash, winnowing, ANN probes,
+media stubs) are registered without oracles -> driver rows-only check;
+their semantics are pytest-verified against brute-force/reference models.
+
+Ray style notes (why each looks the way it does):
+- reads prune columns at the source (``read_parquet(columns=[...])``)
+- per-batch transforms are vectorized Arrow/numpy (functions/text.py)
+- small-side joins broadcast via ``ray.put`` and map_batches lookup —
+  no shuffle join for a 1.5k-row dimension table (SURVEY.md §2.4 J2/J3)
+- aggregations use partial-per-batch + small groupby where the kernel allows
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .corpus import CorpusConfig, generate_corpus
+from .functions import dedup as dd
+from .functions import text as tx
+from .functions.mapmerge import map_urls, prepare_source
+from .functions.normalize import hash_content_md5, normalize_content
+from .pipelines.crawl import CrawlRunConfig, run_crawl
+from .refmodel import CrawlOptions
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _collect(ds: rd.Dataset) -> pa.Table:
+    """Materialize a small result Dataset to one Arrow table, dropping the
+    empty zero-schema blocks Ray's aggregate can emit."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
+
+
+def _round2(t: pa.Table, col: str) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=2))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1/A4/A5/A7) — partial-per-batch via Arrow groupby, then a
+# small global groupby: the combiner pattern that keeps the shuffle tiny.
+# ---------------------------------------------------------------------------
+
+
+def q_counters_by_type(sf_dir: str):
+    """A1: progress-counter analog — events grouped by type."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    partial = ds.map_batches(
+        lambda t: t.group_by("event_type").aggregate(
+            [("value", "sum"), ("event_type", "count")]
+        ).rename_columns(["event_type", "value_sum", "n_part"]),
+        batch_format="pyarrow",
+    )
+    t = _collect(
+        partial.groupby("event_type").aggregate(
+            Sum("value_sum", alias_name="sum_value"), Sum("n_part", alias_name="n")
+        )
+    )
+    return _round2(t, "sum_value").sort_by("event_type")
+
+
+def q_bandwidth_by_user(sf_dir: str):
+    """A4: per-job byte totals analog — per-user value sums."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    t = _collect(
+        ds.groupby("user_id").aggregate(
+            Sum("value", alias_name="sum_value"), Count(alias_name="n")
+        )
+    )
+    return _round2(t, "sum_value").sort_by("user_id")
+
+
+def q_source_stats(sf_dir: str):
+    """A5: per-source URL counts analog."""
+    ds = _read(sf_dir, "documents", ["source"])
+    t = _collect(ds.groupby("source").aggregate(Count(alias_name="n")))
+    return t.sort_by("source")
+
+
+def q_distinct_langs(sf_dir: str):
+    """A7/D: distinct values."""
+    vals = _read(sf_dir, "documents", ["lang"]).unique("lang")
+    return pa.table({"lang": pa.array(sorted(vals), pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# Dedup (D1) / merge (J4) / joins (J2, J3, J5)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """D1: exact dedup — hash-partition by key, keep min doc_id per group."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = _collect(ds.groupby("text") .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n")))
+    return t.select(["doc_id", "n"]).sort_by("doc_id")
+
+
+def q_map_merge(sf_dir: str):
+    """J4: MapService first-writer-wins URL merge with field backfill.
+
+    Sources synthesized deterministically from documents: sitemap = every 3rd
+    doc (bare URLs), search = every 2nd doc (with titles), page_links = all
+    docs (titles+descriptions). Backfill visible on overlap.
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    url = [f"http://map.example.test/d/{i}" for i in ids]
+    sitemap = prepare_source([u for i, u in zip(ids, url) if i % 3 == 0], "sitemap")
+    search = prepare_source(
+        [u for i, u in zip(ids, url) if i % 2 == 0],
+        "search",
+        titles=[f"t{i}" for i in ids if i % 2 == 0],
+    )
+    page_links = prepare_source(
+        url, "page_links",
+        titles=[f"pl{i}" for i in ids],
+        descriptions=[f"d{i}" for i in ids],
+    )
+    out = map_urls(
+        [sitemap, search, page_links], "http://map.example.test/", limit=10**9
+    )
+    return out.sort_by("url")
+
+
+def q_cache_lookup(sf_dir: str):
+    """J2: latest-row-per-key lookup (cache maxAge analog) — per user, the
+    most recent event by (ts, event_id)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False).head(1)
+        return g[["user_id", "event_id"]]
+
+    out = ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    return _collect(out).sort_by("user_id")
+
+
+def q_join_fanout(sf_dir: str):
+    """J3: broadcast-small-side join — orders x customer segment rollup.
+    customer is ray.put once; every batch does a vectorized dict lookup."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.column("c_custkey").to_numpy()
+    segs = np.asarray(cust.column("c_mktsegment"))
+    lut_ref = ray.put((keys, segs))
+
+    class SegmentJoiner:
+        def __init__(self, ref):
+            k, s = ray.get(ref)
+            order = np.argsort(k)
+            self.keys, self.segs = k[order], s[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            seg = np.where(self.keys[pos] == ck, self.segs[pos], None)
+            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        SegmentJoiner, fn_constructor_args=(lut_ref,), concurrency=2,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    t = _collect(ds.groupby("c_mktsegment") .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total")))
+    return _round2(t, "total").sort_by("c_mktsegment")
+
+
+def q_monitor_changes(sf_dir: str):
+    """J5/M18 analog: as-of self-join — per user ordered by (ts, event_id),
+    flag rows whose props changed vs the previous snapshot."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "props"])
+
+    def changes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["changed"] = g["props"].ne(g["props"].shift(1)) & g["props"].shift(1).notna()
+        return g[["user_id", "event_id", "changed"]]
+
+    out = ds.groupby("user_id").map_groups(changes, batch_format="pandas")
+    return _collect(out).sort_by("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1-O5), filters (M10/M11)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_docs(sf_dir: str):
+    """O3: top-k by size with deterministic tie-break."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+    return _collect(out)
+
+
+def q_pagination(sf_dir: str):
+    """O5: results pagination — page 2 of 100 ordered by doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    t = _collect(ds.sort("doc_id").limit(200))
+    return t.slice(100, 100)
+
+
+def q_filter_strategy(sf_dir: str):
+    """M10/M11 analog: vectorized predicate filter (lang + source + size)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.equal(t.column("lang"), "en"),
+                    pc.is_in(t.column("source"), value_set=pa.array(["src1", "src2", "src3"])),
+                ),
+                pc.greater_equal(t.column("n_chars"), 200),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return _collect(out).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (vectorized Arrow kernels, oracle-mirrored formulas)
+# ---------------------------------------------------------------------------
+
+
+def _text_map(sf_dir: str, fn) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by("doc_id")
+
+
+def q_token_count(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": pa.array(tx.token_counts(texts), pa.int64())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+def q_language_id(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "lang_pred": pa.array(tx.language_id(texts), pa.string())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+def q_quality_score(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        scores = np.round(tx.quality_scores(texts), 6)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score": pa.array(scores, pa.float64())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+def q_normalize_hash(sf_dir: str):
+    """M16/M17: normalized content hash (md5 for the DuckDB oracle)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hashes = [hash_content_md5(normalize_content({"markdown": s})) for s in texts]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "content_hash": pa.array(hashes, pa.string())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+def q_length_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    t = _collect(ds.groupby("lang") .aggregate( Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"), Min("n_chars", alias_name="min_chars"), Max("n_chars", alias_name="max_chars"), ))
+    return t.sort_by("lang")
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped rollup exercising partial aggregation on a fact table."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc_price(t: pa.Table) -> pa.Table:
+        dp = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.append_column("disc_price", dp)
+
+    ds = ds.map_batches(add_disc_price, batch_format="pyarrow")
+    t = _collect(ds.groupby(["l_returnflag", "l_linestatus"]) .aggregate( Sum("l_quantity", alias_name="sum_qty"), Sum("disc_price", alias_name="sum_disc_price"), Count(alias_name="n"), ))
+    return _round2(t, "sum_disc_price").sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
+
+
+def q_events_daily(sf_dir: str):
+    """Windowed-aggregate analog: per-day, per-type counts."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(t.column("ts"), unit="day"),
+             "event_type": t.column("event_type")}
+        )
+
+    out = ds.map_batches(day, batch_format="pyarrow")
+    t = _collect(out.groupby(["day", "event_type"]).aggregate(Count(alias_name="n")))
+    return t.sort_by([("day", "ascending"), ("event_type", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Similarity search / embedding dedup
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding: per-batch matmul
+    + local top-k, tiny driver merge (the scale pattern)."""
+    from .functions.ann import TopKMerger, batch_topk, embedding_matrix
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    query = np.asarray(
+        q0.filter(pc.equal(q0.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    query_ref = ray.put(query)
+
+    def topk(t: pa.Table) -> pa.Table:
+        q = ray.get(query_ref)
+        ids = t.column("vec_id").to_numpy()
+        mat = embedding_matrix(t)
+        bi, bs = batch_topk(ids, mat, q, 10)
+        return pa.table({"vec_id": pa.array(bi, pa.int64()),
+                         "cos": pa.array(bs, pa.float64())})
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    parts = _collect(ds.map_batches(topk, batch_format="pyarrow", batch_size=4096))
+    merger = TopKMerger(10)
+    merger.offer(parts.column("vec_id").to_numpy(), parts.column("cos").to_numpy())
+    rows = merger.result()
+    return pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "cos": pa.array([round(r[1], 6) for r in rows], pa.float64())}
+    )
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold on rounded cosine; 0.4
+    fits this corpus's similarity range — max pairwise cos is ~0.51)."""
+    from .functions.ann import embedding_matrix
+    from .functions.dedup import l2_normalize
+
+    full = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    all_ids = full.column("vec_id").to_numpy()
+    all_mat = l2_normalize(embedding_matrix(full))
+    bcast = ray.put((all_ids, all_mat))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_b, mat_b = ray.get(bcast)
+        ids_a = t.column("vec_id").to_numpy()
+        mat_a = l2_normalize(embedding_matrix(t))
+        sims = np.round(mat_a @ mat_b.T, 6)
+        ai, bj = np.where(sims >= 0.4)
+        keep = ids_a[ai] < ids_b[bj]
+        return pa.table(
+            {"a_id": pa.array(ids_a[ai][keep], pa.int64()),
+             "b_id": pa.array(ids_b[bj][keep], pa.int64()),
+             "cos": pa.array(sims[ai, bj][keep], pa.float64())}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = _collect(ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024))
+    return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL operators (rows-only driver check; pytest-verified semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_bfs(sf_dir: str):
+    """Flagship: the crawl itself — order table of a deterministic job."""
+    corpus = generate_corpus(sf_dir, CorpusConfig(n_pages=300))
+    out = run_crawl(
+        "http://h00.example.test/p/0000",
+        CrawlOptions(limit=100, strategy="all"),
+        corpus,
+        CrawlRunConfig(n_fetch_workers=2, n_seen_shards=2),
+    )
+    return out.order_table()
+
+
+def q_crawl_spans(sf_dir: str, _tmp="/tmp/anycrawl_q_spans"):
+    """Interleaved span docs fetched by the crawl (input_hint schema)."""
+    import shutil
+
+    corpus = generate_corpus(sf_dir, CorpusConfig(n_pages=300))
+    shutil.rmtree(_tmp, ignore_errors=True)
+    run_crawl(
+        "http://h00.example.test/p/0000",
+        CrawlOptions(limit=60, strategy="all"),
+        corpus,
+        CrawlRunConfig(n_fetch_workers=2, n_seen_shards=2, spans_out_dir=_tmp),
+    )
+    return pq.read_table(_tmp).sort_by("url")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold 0.5)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = _collect(ds.map_batches( dd.MinHasher, fn_constructor_kwargs={"num_perms": 64, "k": 3}, concurrency=2, batch_format="pyarrow", batch_size=2048, ))
+    bands = dd.band_rows(sigs, bands=32)
+    cand = dd.candidate_pairs_from_buckets(bands)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    sh = {
+        d: s
+        for d, s in zip(
+            docs.column("doc_id").to_pylist(),
+            dd.shingle_hashes_batch(docs.column("text").to_pylist()),
+        )
+    }
+    verified = dd.verify_pairs(cand, sh, threshold=0.5)
+    return pa.table(
+        {"a_id": pa.array([v[0] for v in verified], pa.int64()),
+         "b_id": pa.array([v[1] for v in verified], pa.int64()),
+         "jaccard": pa.array([round(v[2], 6) for v in verified], pa.float64())}
+    )
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dups: 16-bit band blocking + hamming<=3 verify."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sim(t: pa.Table) -> pa.Table:
+        h = dd.simhash64_batch(t.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "simhash": pa.array(h, pa.uint64())}
+        )
+
+    t = _collect(ds.map_batches(sim, batch_format="pyarrow", batch_size=2048))
+    ids = t.column("doc_id").to_numpy()
+    h = t.column("simhash").to_numpy()
+    bands = dd.simhash_bands(h)
+    pairs: set[tuple[int, int]] = set()
+    import polars as pl
+
+    for b in range(bands.shape[1]):
+        df = pl.DataFrame({"id": ids, "band": bands[:, b]})
+        for (_,), g in df.group_by(["band"]):
+            gids = sorted(g["id"].to_list())
+            for i in range(len(gids)):
+                for j in range(i + 1, len(gids)):
+                    pairs.add((gids[i], gids[j]))
+    out = []
+    pos = {int(i): k for k, i in enumerate(ids)}
+    for a, b in sorted(pairs):
+        dist = int(dd.hamming64(h[pos[a] : pos[a] + 1], h[pos[b] : pos[b] + 1])[0])
+        if dist <= 3:
+            out.append((a, b, dist))
+    return pa.table(
+        {"a_id": pa.array([o[0] for o in out], pa.int64()),
+         "b_id": pa.array([o[1] for o in out], pa.int64()),
+         "hamming": pa.array([o[2] for o in out], pa.int32())}
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (rolling-hash) per document."""
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [tx.doc_fingerprint(s) for s in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps, pa.uint64())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal stub stage: actor-pool decode/feature-extract plumbing."""
+    from .stages.multimodal import MediaFeatureExtractor, synth_media_table
+
+    media = synth_media_table(256)
+    ds = rd.from_arrow(media).map_batches(
+        MediaFeatureExtractor, fn_constructor_kwargs={"mode": "fake"},
+        concurrency=2, batch_size=32, batch_format="pyarrow",
+    )
+    return _collect(ds).sort_by("media_ref")
+
+
+def q_serp_parse(sf_dir: str):
+    """M15: SERP parse over a deterministic fixture page set."""
+    from .functions.serp import parse_serp, reassemble_pages
+
+    pages = []
+    for p in range(3):
+        blocks = "".join(
+            f'<div jscontroller="SC7lYd"><a href="http://r.test/{p}/{i}"><h3>R {p}-{i}</h3></a>'
+            f'<div data-sncf="1">desc {p}-{i}<script>x()</script></div></div>'
+            for i in range(10)
+        )
+        pages.append((p, parse_serp(f"<html><body>{blocks}</body></html>")))
+    rows = reassemble_pages(pages, limit=25)
+    return pa.table(
+        {"title": pa.array([r["title"] for r in rows], pa.string()),
+         "url": pa.array([r["url"] for r in rows], pa.string()),
+         "description": pa.array([r["description"] for r in rows], pa.string())}
+    )
+
+
+def build_queries() -> dict[str, Callable]:
+    return {
+        "counters_by_type": q_counters_by_type,
+        "bandwidth_by_user": q_bandwidth_by_user,
+        "source_stats": q_source_stats,
+        "distinct_langs": q_distinct_langs,
+        "dedup_exact": q_dedup_exact,
+        "map_merge": q_map_merge,
+        "cache_lookup": q_cache_lookup,
+        "join_fanout": q_join_fanout,
+        "monitor_changes": q_monitor_changes,
+        "topk_docs": q_topk_docs,
+        "pagination": q_pagination,
+        "filter_strategy": q_filter_strategy,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "normalize_hash": q_normalize_hash,
+        "length_stats": q_length_stats,
+        "lineitem_pricing": q_lineitem_pricing,
+        "events_daily": q_events_daily,
+        "ann_cosine": q_ann_cosine,
+        "embedding_dedup": q_embedding_dedup,
+        # rows-only (non-SQL-expressible)
+        "crawl_bfs": q_crawl_bfs,
+        "crawl_spans": q_crawl_spans,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_features": q_media_features,
+        "serp_parse": q_serp_parse,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — column names and float rounding match the Ray side.
+# ---------------------------------------------------------------------------
+
+_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _stop_count(lang_words: tuple[str, ...]) -> str:
+    wl = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        f"len(list_filter({_TOKENS}, t -> list_contains([{wl}], lower(t))))"
+    )
+
+
+def build_oracle_sql() -> dict[str, str]:
+    s_en = _stop_count(tx.STOPWORDS["en"])
+    s_es = _stop_count(tx.STOPWORDS["es"])
+    s_de = _stop_count(tx.STOPWORDS["de"])
+    s_fr = _stop_count(tx.STOPWORDS["fr"])
+    return {
+        "counters_by_type": """
+            SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "bandwidth_by_user": """
+            SELECT user_id, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "source_stats": """
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source ORDER BY source
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents ORDER BY lang
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "map_merge": """
+            WITH src AS (
+                SELECT 'http://map.example.test/d/' || doc_id AS url,
+                       NULL AS title, NULL AS description,
+                       'sitemap' AS source, 0 AS priority, doc_id AS ii
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 'http://map.example.test/d/' || doc_id,
+                       't' || doc_id, NULL, 'search', 1, doc_id
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'http://map.example.test/d/' || doc_id,
+                       'pl' || doc_id, 'd' || doc_id, 'page_links', 2, doc_id
+                FROM documents
+            )
+            SELECT url,
+                   (ARRAY_AGG(title ORDER BY priority) FILTER (WHERE title IS NOT NULL))[1] AS title,
+                   (ARRAY_AGG(description ORDER BY priority) FILTER (WHERE description IS NOT NULL))[1] AS description,
+                   (ARRAY_AGG(source ORDER BY priority))[1] AS source
+            FROM src GROUP BY url ORDER BY url
+        """,
+        "cache_lookup": """
+            SELECT user_id, event_id FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id
+        """,
+        "join_fanout": """
+            SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "monitor_changes": """
+            SELECT user_id, event_id,
+                   COALESCE(props <> LAG(props) OVER w, FALSE) AS changed
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "topk_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        "pagination": """
+            SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 100 OFFSET 100
+        """,
+        "filter_strategy": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND source IN ('src1','src2','src3') AND n_chars >= 200
+            ORDER BY doc_id
+        """,
+        "token_count": f"""
+            SELECT doc_id, len({_TOKENS}) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "language_id": f"""
+            SELECT doc_id,
+              CASE
+                WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                     > 0.2 * GREATEST(length(text), 1) THEN 'zh'
+                WHEN GREATEST({s_en}, {s_es}, {s_de}, {s_fr}) = 0 THEN 'unknown'
+                WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} AND {s_en} >= {s_fr} THEN 'en'
+                WHEN {s_es} >= {s_de} AND {s_es} >= {s_fr} THEN 'es'
+                WHEN {s_de} >= {s_fr} THEN 'de'
+                ELSE 'fr'
+              END AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            SELECT doc_id, ROUND(
+                0.3 * LEAST(len({_TOKENS}) / 64.0, 1.0)
+              + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(GREATEST(length(text), 1) AS DOUBLE))
+              + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / CAST(GREATEST(length(text), 1) AS DOUBLE))
+              + 0.2 * LEAST(5.0 * (({s_en}) + ({s_es}) + ({s_de}) + ({s_fr}))
+                       / CAST(GREATEST(len({_TOKENS}), 1) AS DOUBLE), 1.0)
+            , 6) AS score
+            FROM documents ORDER BY doc_id
+        """,
+        "normalize_hash": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(text, '\n{3,}', chr(10) || chr(10), 'g'))) AS content_hash
+            FROM documents ORDER BY doc_id
+        """,
+        "length_stats": """
+            SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "events_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, qe), 6) AS cos
+            FROM embeddings, q
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "embedding_dedup": """
+            WITH n AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+            ORDER BY a_id, b_id
+        """,
+    }

@@ -1,59 +1,116 @@
-"""Fetch+parse stage: frontier batch -> fetched spans + resolved links.
+"""Fetch+parse stage: frontier batch -> fetched spans + filtered links.
 
 The Ray equivalent of the reference's per-engine crawler worker
 (reference packages/scrape/src/engines/Cheerio.ts:32-58 fetch;
 core/DataExtractor.ts:268-302,417-432 parse/assemble;
-DataExtractor.ts:490-494 links format via extractUrlsFromCheerio).
+DataExtractor.ts:490-494 links format via extractUrlsFromCheerio;
+link filters engines/Base.ts:391-474 run inside the crawler too).
 
 Shape: a callable CLASS for ``map_batches(FetchParseActor, concurrency=N,
-batch_format="pyarrow", zero_copy_batch=True)`` — the corpus index (this
-sandbox's synthetic "web"; in production the HTTP/browser client pool, T1-T3)
-is built ONCE per actor in ``__init__`` from a ``ray.put`` broadcast ref, never
-per batch. The same pure function ``fetch_parse_batch`` also backs the
-persistent-actor-pool executor used for tiny conformance waves (wave=5), where
-per-round Dataset task launch would dominate (SURVEY.md §7.3).
+batch_format="pyarrow", zero_copy_batch=True)``. All per-job state — the
+corpus index (this sandbox's synthetic "web"; in production the HTTP/browser
+client pool, T1-T3), the compiled include/exclude matchers, the robots table
+— is built ONCE per actor in ``__init__`` from a broadcast JobContext, never
+per batch.
+
+Scale-critical split: workers write SPAN PAYLOADS directly to partitioned
+parquet (``spans_dir/round=R/part-C.parquet``) and return only small metadata
+(url, ok, links + eligibility mask, bytes) to the driver. The driver's
+ordering loop never deserializes page content — at 100 TB the fat columns
+move storage->worker->storage only.
 
 Status normalization (ok / status_code) mirrors engines/Base.ts:130-184.
 """
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass, field
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 
+import hashlib
+
 from ..corpus import CorpusIndex
-from ..schema import FETCH_SCHEMA, SPAN_STRUCT
-from ..urlnorm import canonicalize_url, hostname_of
+from ..functions import text as tx
+from ..pathmatch import PathMatcher
+from ..refmodel import robots_disallowed
+from ..schema import FETCH_SCHEMA
+from ..urlnorm import canonicalize_links, hosts_of_batch, matches_strategy_batch
 
-_EMPTY_SPANS_ROW = pa.Table.from_pydict({"spans": pa.array([[]], pa.list_(SPAN_STRUCT))})
+# Metadata-only result (spans stay in the worker; see module docstring).
+FETCH_META_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("host", pa.string()),
+        pa.field("depth", pa.int32()),
+        pa.field("discovery_seq", pa.int64()),
+        pa.field("status_code", pa.int32()),
+        pa.field("ok", pa.bool_()),
+        pa.field("links", pa.list_(pa.string())),
+        pa.field("links_elig", pa.list_(pa.bool_())),  # strategy&paths&robots
+        pa.field("bytes", pa.int64()),
+    ]
+)
 
 
-def fetch_parse_batch(batch: pa.Table, idx: CorpusIndex) -> pa.Table:
-    """(url, depth, discovery_seq) -> FETCH_SCHEMA rows, input order preserved.
+@dataclass
+class JobContext:
+    """Per-crawl-job constants broadcast to every fetch worker."""
+
+    seed: str = ""
+    strategy: str = "all"
+    include_paths: tuple[str, ...] = ()
+    exclude_paths: tuple[str, ...] = ()
+    robots: dict | None = None
+    spans_dir: str | None = None
+    filter_links: bool = True
+    round_no: int = 0  # used by the per-round Dataset executor for span parts
+    # Deterministic per-page CPU cost modeling browser-engine fetch+render
+    # (reference runs Playwright/Puppeteer pools at concurrency 50,
+    # EngineConfigurator.ts:711-743 — the real system burns ~100-1000ms CPU
+    # per rendered page; SURVEY.md S2: "modeled as cost-weighted fetch").
+    # sha256 chain over the page's first 4 KB, ``render_iters`` rounds;
+    # cache-resident, so it scales with cores rather than memory bandwidth.
+    render_iters: int = 0
+
+
+def fetch_parse_batch(
+    batch: pa.Table, idx: CorpusIndex, ctx: JobContext, matcher: PathMatcher
+) -> tuple[pa.Table, pa.Table]:
+    """(url, depth, discovery_seq) -> (meta table, spans table), input order.
 
     Vectorized: page spans are gathered from the broadcast corpus with one
-    Arrow ``take``; byte accounting and link location run on the flattened
-    span arrays. Only URL lookup + link canonicalization are per-item Python
-    (string resolution is inherently scalar).
+    Arrow ``take``; byte accounting, link location and link filters run on
+    flattened arrays. Only URL lookup + link canonicalization are per-item
+    Python (string resolution is inherently scalar, with batch fast paths).
     """
+    from ..urlnorm import strip_fragment
+
     urls = batch.column("url").to_pylist()
     n = len(urls)
-    rows = np.full(n, -1, dtype=np.int64)
-    for i, u in enumerate(urls):
-        r = idx.lookup(u)
-        if r is not None:
-            rows[i] = r
+    keys = [strip_fragment(u) for u in canonicalize_links(urls, None)]
+    rows = idx.lookup_batch(keys)
 
-    # spans: corpus.take with a sentinel empty row for misses
-    spans_source = pa.concat_tables(
-        [pa.table({"spans": idx.table.column("spans")}), _EMPTY_SPANS_ROW]
-    ).column("spans").combine_chunks()
-    take_idx = np.where(rows >= 0, rows, idx.table.num_rows)
-    spans = spans_source.take(pa.array(take_idx, pa.int64()))
-    if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
+    # spans: take only HIT rows from the corpus column (copies just this
+    # batch's pages), then reassemble with empty lists at miss positions
+    hit_mask = rows >= 0
+    hit_spans = idx.spans_col.take(pa.array(rows[hit_mask], pa.int64()))
+    if isinstance(hit_spans, pa.ChunkedArray):
+        hit_spans = hit_spans.combine_chunks()
+    lens = np.zeros(n, dtype=np.int64)
+    if hit_mask.any():
+        h_off = hit_spans.offsets.to_numpy()
+        lens[hit_mask] = np.diff(h_off)
+        values = hit_spans.flatten()
+    else:
+        values = idx._span_struct
+    span_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    spans = pa.ListArray.from_arrays(pa.array(span_offsets, pa.int32()), values)
 
     ok = rows >= 0
     status = np.where(ok, 200, 404).astype(np.int32)
@@ -70,10 +127,34 @@ def fetch_parse_batch(batch: pa.Table, idx: CorpusIndex) -> pa.Table:
     kinds = np.asarray(flat.field("kind"))
     link_mask = kinds == "link"
     span_row = np.repeat(np.arange(n), np.diff(offsets))
-    links_col: list[list[str]] = [[] for _ in range(n)]
+    raw_links: list[list[str]] = [[] for _ in range(n)]
     for r, ref in zip(span_row[link_mask], np.asarray(flat.field("media_ref"))[link_mask]):
-        links_col[r].append(canonicalize_url(ref, base=urls[r]))
+        raw_links[r].append(ref)
+    # one base per page -> batch fast-path canonicalization per row
+    links_col = [
+        canonicalize_links(refs, urls[r]) if refs else []
+        for r, refs in enumerate(raw_links)
+    ]
 
+    # link eligibility (strategy + include/exclude + robots), vectorized over
+    # the batch's flattened link list — the reference runs these inside the
+    # crawler process too (Base.ts:427-474, crawlCoordinator.ts:113-115)
+    flat_links = [l for links in links_col for l in links]
+    if ctx.filter_links and flat_links:
+        link_hosts = hosts_of_batch(flat_links)
+        elig = matches_strategy_batch(flat_links, link_hosts, ctx.seed, ctx.strategy)
+        elig &= np.asarray(matcher.match_many(flat_links), dtype=bool)
+        if ctx.robots:
+            elig &= ~np.array([robots_disallowed(l, ctx.robots) for l in flat_links])
+    else:
+        elig = np.ones(len(flat_links), dtype=bool)
+    elig_col: list[list[bool]] = []
+    pos = 0
+    for links in links_col:
+        elig_col.append(elig[pos : pos + len(links)].tolist())
+        pos += len(links)
+
+    host_arr = pa.array(hosts_of_batch(urls), pa.string())
     depth = (
         pc.cast(batch.column("depth"), pa.int32()).combine_chunks()
         if "depth" in batch.column_names
@@ -84,49 +165,141 @@ def fetch_parse_batch(batch: pa.Table, idx: CorpusIndex) -> pa.Table:
         if "discovery_seq" in batch.column_names
         else pa.array(np.arange(n, dtype=np.int64), pa.int64())
     )
-    return pa.Table.from_arrays(
+    url_arr = pa.array(urls, pa.string())
+    meta = pa.Table.from_arrays(
         [
-            pa.array(urls, pa.string()),
-            pa.array([hostname_of(u) for u in urls], pa.string()),
+            url_arr,
+            host_arr,
             depth,
             seq,
             pa.array(status, pa.int32()),
             pa.array(ok),
-            spans,
             pa.array(links_col, pa.list_(pa.string())),
+            pa.array(elig_col, pa.list_(pa.bool_())),
             pa.array(nbytes, pa.int64()),
+        ],
+        schema=FETCH_META_SCHEMA,
+    )
+    # parse outputs: order-preserving markdown assembly (text+ocr spans joined
+    # in offset order — the M4/M9 invariant), content hash (M17), and the
+    # text-analysis columns a training-data pipeline wants downstream.
+    is_content = (kinds == "text") | (kinds == "ocr")
+    sel_flat = flat.field("text").filter(pa.array(is_content))
+    ccum = np.concatenate([[0], np.cumsum(is_content.astype(np.int64))])
+    sel_counts = ccum[offsets[1:]] - ccum[offsets[:-1]]
+    sel_offsets = np.concatenate([[0], np.cumsum(sel_counts)]).astype(np.int32)
+    md_lists = pa.ListArray.from_arrays(pa.array(sel_offsets, pa.int32()), sel_flat)
+    markdown = pc.binary_join(md_lists, "\n\n")
+    md_py = markdown.to_pylist()
+    if ctx.render_iters:
+        hashes = []
+        for m in md_py:
+            block = m.encode()[:4096]
+            d = hashlib.sha256(block).digest()
+            for _ in range(ctx.render_iters):  # render-cost model (see JobContext)
+                d = hashlib.sha256(d + block).digest()
+            hashes.append(d.hex())
+        content_hash = pa.array(hashes, pa.string())
+    else:
+        content_hash = pa.array(
+            [hashlib.sha256(m.encode()).hexdigest() for m in md_py], pa.string()
+        )
+    metrics = tx.fast_text_metrics(markdown)  # byte-path, one pass
+    n_tokens = pa.array(metrics["n_tokens"], pa.int64())
+    quality = pa.array(metrics["quality"], pa.float64())
+    lang = pa.array(metrics["lang"], pa.string())
+
+    spans_table = pa.Table.from_arrays(
+        [url_arr, host_arr, depth, pa.array(status, pa.int32()), pa.array(ok), spans,
+         pa.array(nbytes, pa.int64()), markdown, content_hash, n_tokens, quality, lang],
+        names=["url", "host", "depth", "status_code", "ok", "spans", "bytes",
+               "markdown", "content_hash", "n_tokens", "quality", "lang"],
+    )
+    return meta, spans_table
+
+
+def full_fetch_table(meta: pa.Table, spans_table: pa.Table) -> pa.Table:
+    """Recombine meta+spans into the wide FETCH_SCHEMA (tests/debug)."""
+    return pa.Table.from_arrays(
+        [
+            meta.column("url"), meta.column("host"), meta.column("depth"),
+            meta.column("discovery_seq"), meta.column("status_code"),
+            meta.column("ok"), spans_table.column("spans"), meta.column("links"),
+            meta.column("bytes"),
         ],
         schema=FETCH_SCHEMA,
     )
 
 
-class FetchParseActor:
-    """map_batches actor: corpus index built once per actor (T1-analog)."""
+class _WorkerCore:
+    """Shared per-actor state + batch logic for both executor flavors."""
 
-    def __init__(self, corpus_ref):
-        table = corpus_ref if isinstance(corpus_ref, pa.Table) else ray.get(corpus_ref)
-        self.idx = CorpusIndex(table)
+    def __init__(self, corpus_ref, ctx: JobContext | None = None):
+        # one OS thread per worker for Arrow kernels: N workers each spinning
+        # a full-core Arrow pool thrashes the machine (nested parallelism)
+        pa.set_cpu_count(1)
+        # corpus arrives as [ObjectRef] ON PURPOSE: a bare ObjectRef argument
+        # is auto-dereferenced by Ray, which serializes the whole table into
+        # every actor-creation task spec ON THE DRIVER (N x full-corpus
+        # serialization, sequential). Boxed, each actor does its own zero-copy
+        # plasma read in parallel.
+        if isinstance(corpus_ref, list):
+            corpus_ref = ray.get(corpus_ref[0])
+        self.idx = CorpusIndex(
+            corpus_ref if isinstance(corpus_ref, pa.Table) else ray.get(corpus_ref)
+        )
+        self.ctx = ctx or JobContext(filter_links=False)
+        self.matcher = PathMatcher(
+            list(self.ctx.include_paths), list(self.ctx.exclude_paths)
+        )
+
+    def process(self, batch: pa.Table, round_no: int = 0, part_id: int = 0) -> pa.Table:
+        meta, spans_table = fetch_parse_batch(batch, self.idx, self.ctx, self.matcher)
+        if self.ctx.spans_dir and spans_table.num_rows:
+            d = os.path.join(self.ctx.spans_dir, f"round={round_no:05d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(spans_table, os.path.join(d, f"part-{part_id:04d}.parquet"))
+        return meta
+
+
+class FetchParseActor(_WorkerCore):
+    """map_batches actor: returns metadata; spans go straight to parquet."""
+
+    _part_counter = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return fetch_parse_batch(batch, self.idx)
+        # map_batches path: parts keyed by (actor pid, running counter)
+        FetchParseActor._part_counter += 1
+        pid = os.getpid() % 10_000
+        return self.process(
+            batch, self.ctx.round_no, pid * 1000 + FetchParseActor._part_counter
+        )
 
 
 @ray.remote
-class FetchWorker:
+class FetchWorker(_WorkerCore):
     """Persistent fetch worker for the low-latency pool executor.
 
     The reference keeps crawler processes alive for the whole job
     (reference packages/scrape/src/core/EngineConfigurator.ts:32-36
-    ``isFinishedFunction: () => false``); Ray Data recreates map_batches actors
-    per execution, which for a wave of 5 URLs costs more than the fetch. The
-    pool executor keeps these actors alive for the whole crawl and feeds them
+    ``isFinishedFunction: () => false``); Ray Data recreates map_batches
+    actors per execution, which for a wave of 5 URLs costs more than the
+    fetch. The pool keeps actors alive for the whole crawl and feeds them
     Arrow chunks directly; identical batch code, identical results.
     """
 
-    def __init__(self, corpus_ref):
-        self.idx = CorpusIndex(
-            corpus_ref if isinstance(corpus_ref, pa.Table) else ray.get(corpus_ref)
-        )
+    def fetch(self, batch: pa.Table, round_no: int = 0, part_id: int = 0) -> pa.Table:
+        return self.process(batch, round_no, part_id)
 
-    def fetch(self, batch: pa.Table) -> pa.Table:
-        return fetch_parse_batch(batch, self.idx)
+    def ping(self, touch: bool = False) -> bool:
+        if touch:
+            # fault the plasma-resident corpus into page cache once, up
+            # front — otherwise the first waves pay it as random-access
+            # page faults inside the timed crawl
+            col = self.idx.table.column("spans")
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            for chunk in chunks:
+                for buf in chunk.buffers():
+                    if buf is not None and buf.size:
+                        np.frombuffer(buf, dtype=np.uint8)[::4096].sum()
+        return True

@@ -20,6 +20,11 @@ byte-for-byte shared.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
@@ -117,6 +122,95 @@ def base_domain_of(url: str) -> str:
         return ""
     labels = host.split(".")
     return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+
+# ---------------------------------------------------------------------------
+# Batch fast paths — semantically identical to the scalar functions above
+# (conformance tests pin pipeline == reference model, which uses the scalar
+# path), but avoid urlsplit's ~30µs/url cost on the crawl hot loop.
+# ---------------------------------------------------------------------------
+
+# An absolute URL that is ALREADY in canonical form: lowercase scheme+host,
+# no default-port suffix handled below, non-empty path, no dot segments.
+_ABS_RE = re.compile(
+    r"^(https?)://([a-z0-9][a-z0-9.-]*)(?::(\d+))?((?:/[^?#]*)?)(\?[^#]*)?(#.*)?$"
+)
+
+
+def canonicalize_links(hrefs: list[str], base: str | None) -> list[str]:
+    """Canonicalize many hrefs against ONE base (a page's outlinks).
+
+    Fast paths cover the overwhelmingly common shapes (already-absolute http
+    URLs, site-relative ``/path`` links, ``http:/`` scheme repairs); anything
+    else falls back to :func:`canonicalize_url`. Byte-identical output to the
+    scalar function (pinned by tests).
+    """
+    base_m = _ABS_RE.match(base) if base else None
+    if base_m:
+        b_scheme, b_host, b_port = base_m.group(1), base_m.group(2), base_m.group(3)
+        if b_port and b_port != _DEFAULT_PORTS.get(b_scheme):
+            b_origin = f"{b_scheme}://{b_host}:{b_port}"
+        else:
+            b_origin = f"{b_scheme}://{b_host}"
+    else:
+        b_origin = None
+
+    out = []
+    for href in hrefs:
+        h = repair_scheme(href.strip())
+        if h.startswith("http"):
+            m = _ABS_RE.match(h)
+            if m and ".." not in m.group(4) and "/./" not in m.group(4):
+                scheme, host, port, path, query, frag = m.groups()
+                if port and port == _DEFAULT_PORTS.get(scheme):
+                    port = None
+                netloc = f"{host}:{port}" if port else host
+                out.append(
+                    f"{scheme}://{netloc}{path or '/'}{query or ''}{frag or ''}"
+                )
+                continue
+        elif b_origin and h.startswith("/") and not h.startswith("//"):
+            if ".." not in h and "/./" not in h:
+                out.append(b_origin + h)
+                continue
+        out.append(canonicalize_url(href, base))
+    return out
+
+
+# scheme optional: protocol-relative "//host/x" also carries a hostname
+_HOST_EXTRACT = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?(?P<host>[^/?#:]+)"
+
+
+def hosts_of_batch(urls: list[str] | pa.Array) -> np.ndarray:
+    """Vectorized hostname extraction ('' where unparsable) — matches
+    :func:`hostname_of` on http(s) URLs."""
+    arr = urls if isinstance(urls, pa.Array) else pa.array(urls, pa.string())
+    ex = pc.extract_regex(arr, _HOST_EXTRACT)
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    return np.asarray(host.fill_null(""))
+
+
+def origins_of_batch(urls: list[str]) -> list[str]:
+    """Vectorized-ish origin extraction — matches :func:`origin_of`."""
+    return [origin_of(u) for u in urls]
+
+
+def matches_strategy_batch(
+    urls: list[str], hosts: np.ndarray, seed_url: str, strategy: str
+) -> np.ndarray:
+    """Vectorized strategy filter == [matches_strategy(u, seed, s) for u]."""
+    seed_host = hostname_of(seed_url)
+    valid = hosts != ""
+    if not seed_host:
+        return np.zeros(len(urls), dtype=bool)
+    if strategy in ("same-domain", "same-hostname"):
+        return valid & (hosts == seed_host)
+    if strategy == "same-origin":
+        seed_origin = origin_of(seed_url)
+        return valid & np.array(
+            [origin_of(u) == seed_origin for u in urls], dtype=bool
+        )
+    return valid  # "all"
 
 
 def matches_strategy(url: str, seed_url: str, strategy: str) -> bool:

@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate: every queries() entry with
+an oracle_sql() runs on sf0.01 and must match DuckDB row-for-row after
+column-name sort + row sort (floats compared to 1e-9 after the query's own
+rounding). Rows-only entries must at least return rows with stable schema."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bytes):
+            df[c] = df[c].map(lambda b: b.hex())
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def assert_frames_match(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: column mismatch {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rowcount {len(ray_df)} vs {len(sql_df)}"
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+            assert np.allclose(
+                av.astype(np.float64), bv.astype(np.float64), atol=1e-9, equal_nan=True
+            ), f"{name}.{c}: float values differ"
+        else:
+            eq = pd.Series(av).astype(str).eq(pd.Series(bv).astype(str))
+            assert eq.all(), (
+                f"{name}.{c}: values differ at rows {list(np.flatnonzero(~eq.to_numpy())[:5])}"
+            )
+
+
+SQL_CHECKED = [
+    "counters_by_type", "bandwidth_by_user", "source_stats", "distinct_langs",
+    "dedup_exact", "map_merge", "cache_lookup", "join_fanout", "monitor_changes",
+    "topk_docs", "pagination", "filter_strategy", "token_count", "language_id",
+    "quality_score", "normalize_hash", "length_stats", "lineitem_pricing",
+    "events_daily", "ann_cosine", "embedding_dedup",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked(registry, duck, name):
+    queries, oracles = registry
+    assert name in queries and name in oracles
+    ray_df = _to_pandas(queries[name](SF_DIR))
+    sql_df = duck.execute(oracles[name]).df()
+    assert_frames_match(ray_df, sql_df, name)
+
+
+ROWS_ONLY = [
+    "crawl_bfs", "crawl_spans", "minhash_dedup", "simhash_dedup",
+    "doc_fingerprint", "media_features", "serp_parse",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only(registry, name):
+    queries, oracles = registry
+    assert name in queries and name not in oracles
+    df = _to_pandas(queries[name](SF_DIR))
+    assert len(df.columns) > 0
+    if name in ("minhash_dedup", "simhash_dedup"):
+        return  # may legitimately be empty on a no-dup corpus
+    assert len(df) > 0, f"{name} returned no rows"
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    assert ds.count() > 0
+    assert set(ds.schema().names) >= {"url", "spans", "ok"}
