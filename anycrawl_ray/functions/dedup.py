@@ -124,13 +124,21 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def candidate_pairs_from_buckets(band_table: pa.Table) -> set[tuple]:
-    """Unique doc-id pairs sharing any LSH bucket (pairs within small groups)."""
+def candidate_pairs_from_buckets(
+    band_table: pa.Table, max_bucket: int = 64
+) -> set[tuple]:
+    """Unique doc-id pairs sharing any LSH bucket (pairs within small groups).
+
+    Buckets larger than ``max_bucket`` are skipped — the hot-bucket defense
+    (a degenerate bucket of B docs contributes B^2/2 candidate pairs; on
+    low-entropy corpora that explodes quadratically while contributing mostly
+    sub-threshold pairs, which other, more selective bands still catch).
+    """
     df = pl.from_arrow(band_table)
     pairs: set[tuple] = set()
     for (_, _), g in df.group_by(["band", "band_hash"]):
         ids = sorted(g["doc_id"].to_list())
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > max_bucket:
             continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

@@ -21,21 +21,23 @@ from html.parser import HTMLParser
 
 
 class _Node:
-    __slots__ = ("tag", "attrs", "children", "text_parts", "parent")
+    __slots__ = ("tag", "attrs", "children", "content", "parent")
 
     def __init__(self, tag: str, attrs: dict, parent):
         self.tag = tag
         self.attrs = attrs
         self.children: list[_Node] = []
-        self.text_parts: list[str] = []
+        # document-ordered mix of ("t", str) and ("n", _Node) — order matters
+        # for markdown conversion and span interleaving
+        self.content: list[tuple[str, object]] = []
         self.parent = parent
 
     def text(self, skip_tags: frozenset = frozenset({"script", "style"})) -> str:
         if self.tag in skip_tags:
             return ""
-        parts = list(self.text_parts)
-        for c in self.children:
-            parts.append(c.text(skip_tags))
+        parts = []
+        for kind, payload in self.content:
+            parts.append(payload if kind == "t" else payload.text(skip_tags))
         return "".join(parts)
 
     def find_all(self, pred) -> list["_Node"]:
@@ -62,6 +64,7 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs), self.cur)
         self.cur.children.append(node)
+        self.cur.content.append(("n", node))
         if tag not in _VOID:
             self.cur = node
 
@@ -73,7 +76,7 @@ class _TreeBuilder(HTMLParser):
             self.cur = n.parent
 
     def handle_data(self, data):
-        self.cur.text_parts.append(data)
+        self.cur.content.append(("t", data))
 
 
 def parse_html(html: str) -> _Node:

@@ -123,7 +123,10 @@ class _PoolExecutor:
         if n == 0:
             return pa.Table.from_pylist([], FETCH_META_SCHEMA)
         workers = self._ready_workers()
-        k = min(len(workers), max(1, (n + self.MIN_CHUNK - 1) // self.MIN_CHUNK))
+        # two chunks queued per worker: the second pipelines behind the first
+        # inside each actor, halving the straggler tail without a per-chunk
+        # driver dispatch loop (one barrier per wave)
+        k = min(2 * len(workers), max(1, (n + self.MIN_CHUNK - 1) // self.MIN_CHUNK))
         bounds = np.linspace(0, n, k + 1).astype(int)
         refs = [
             workers[i % len(workers)].fetch.remote(
@@ -132,8 +135,7 @@ class _PoolExecutor:
             for i in range(k)
             if bounds[i + 1] > bounds[i]
         ]
-        out = pa.concat_tables(ray.get(refs))
-        return out.sort_by("discovery_seq")
+        return pa.concat_tables(ray.get(refs)).sort_by("discovery_seq")
 
     def shutdown(self) -> None:
         for w in self.workers:

@@ -409,6 +409,126 @@ def q_embedding_dedup(sf_dir: str):
     return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
 
 
+def q_supplier_geo(sf_dir: str):
+    """Chained broadcast joins: supplier -> nation -> region rollup.
+    Both dimensions are tiny; broadcast once, no shuffle join."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
+    )
+    r2name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    lut_ref = ray.put((n2r, r2name))
+
+    def add_region(t: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(lut_ref)
+        names = [r2name_.get(n2r_.get(nk)) for nk in t.column("s_nationkey").to_pylist()]
+        return t.append_column("r_name", pa.array(names, pa.string()))
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        add_region, batch_format="pyarrow"
+    )
+    t = _collect(
+        ds.groupby("r_name").aggregate(
+            Count(alias_name="n"), Sum("s_acctbal", alias_name="total_bal")
+        )
+    )
+    return _round2(t, "total_bal").sort_by("r_name")
+
+
+def q_part_type_stats(sf_dir: str):
+    """Dimension-table rollup with min/max (exact int/string aggregates)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    t = _collect(
+        ds.groupby("p_brand").aggregate(
+            Count(alias_name="n"),
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
+            Sum("p_retailprice", alias_name="total_price"),
+        )
+    )
+    return _round2(t, "total_price").sort_by("p_brand")
+
+
+def q_html_markdown(sf_dir: str):
+    """M4 oracle entry: deterministic HTML synthesized from documents rows,
+    converted by the from-scratch html->markdown operator; the DuckDB oracle
+    mirrors the conversion algebraically for this input shape."""
+    from .functions.markdown import html_to_markdown
+    from .functions.normalize import hash_content_md5
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        sources = t.column("source").to_pylist()
+        hashes = []
+        for s, x in zip(sources, texts):
+            md = html_to_markdown(f"<h1>{s}</h1><p>{x}</p>")
+            hashes.append(hash_content_md5(md))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "md_hash": pa.array(hashes, pa.string())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by("doc_id")
+
+
+def q_js_requirement(sf_dir: str):
+    """M14: auto-engine HTML heuristic over synthesized pages — doc_id plus
+    the decision; SPA-shaped pages every 5th doc."""
+    from .functions.agents import analyze_html_for_js_requirement
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, x in zip(ids, texts):
+            if i % 5 == 0:
+                html = '<html><body><div id="root"></div></body></html>' + "pad" * 800
+            else:
+                html = f"<html><body><article>{x} {x} {x}</article></body></html>"
+            out.append(analyze_html_for_js_requirement(html)["js_required"])
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "js_required": pa.array(out, pa.bool_())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(f, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def q_ngram_dedup(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs — brute force O(n^2/p) via
+    broadcast shingle sets (the baseline the minhash path approximates)."""
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    shingles = dd.shingle_hashes_batch(docs.column("text").to_pylist(), k=3)
+    bcast = ray.put((ids, shingles))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, all_sh = ray.get(bcast)
+        pos = {d: i for i, d in enumerate(all_ids)}
+        a_out, b_out, j_out = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            i = pos[d]
+            for jdx in range(i + 1, len(all_ids)):
+                jac = dd.jaccard(all_sh[i], all_sh[jdx])
+                if jac >= 0.3:
+                    a_out.append(all_ids[i])
+                    b_out.append(all_ids[jdx])
+                    j_out.append(round(jac, 6))
+        return pa.table(
+            {"a_id": pa.array(a_out, pa.int64()), "b_id": pa.array(b_out, pa.int64()),
+             "jaccard": pa.array(j_out, pa.float64())}
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(ds.map_batches(pairs, batch_format="pyarrow", batch_size=64))
+    return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL operators (rows-only driver check; pytest-verified semantics)
 # ---------------------------------------------------------------------------
@@ -567,7 +687,12 @@ def build_queries() -> dict[str, Callable]:
         "events_daily": q_events_daily,
         "ann_cosine": q_ann_cosine,
         "embedding_dedup": q_embedding_dedup,
+        "supplier_geo": q_supplier_geo,
+        "part_type_stats": q_part_type_stats,
+        "html_markdown": q_html_markdown,
         # rows-only (non-SQL-expressible)
+        "js_requirement": q_js_requirement,
+        "ngram_dedup": q_ngram_dedup,
         "crawl_bfs": q_crawl_bfs,
         "crawl_spans": q_crawl_spans,
         "minhash_dedup": q_minhash_dedup,
@@ -715,6 +840,24 @@ def build_oracle_sql() -> dict[str, str]:
         "events_daily": """
             SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "supplier_geo": """
+            SELECT r_name, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS total_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "part_type_stats": """
+            SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
+                   MAX(p_size) AS max_size, ROUND(SUM(p_retailprice), 2) AS total_price
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "html_markdown": r"""
+            SELECT doc_id,
+                   md5('# ' || source || chr(10) || chr(10) ||
+                       trim(regexp_replace(text, '\s+', ' ', 'g'))) AS md_hash
+            FROM documents ORDER BY doc_id
         """,
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

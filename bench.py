@@ -151,8 +151,35 @@ def run_once(num_cpus: int, crawl_only: bool = False) -> dict:
     return result
 
 
+def _cpu_aggregate(n_procs: int, seconds: float = 2.0) -> float:
+    """Aggregate sha256 throughput across n processes — calibrates what THIS
+    host actually delivers when scaling process count (VMs throttle: measured
+    pure-CPU scaling 8->32 vCPUs here is ~3.3x, not 4x)."""
+    import multiprocessing as mp
+
+    with mp.Pool(n_procs) as p:
+        rates = p.map(_hash_rate, [seconds] * n_procs)
+    return sum(rates)
+
+
+def _hash_rate(seconds: float) -> float:
+    import hashlib
+    import time as t
+
+    block = b"x" * 4096
+    d = hashlib.sha256(block).digest()
+    t0 = t.perf_counter()
+    n = 0
+    while t.perf_counter() - t0 < seconds:
+        for _ in range(1000):
+            d = hashlib.sha256(d + block).digest()
+        n += 1000
+    return n / (t.perf_counter() - t0)
+
+
 def run_scaling() -> dict:
-    """Same crawl job at num_cpus=8 and num_cpus=32 in fresh processes."""
+    """Same crawl job at num_cpus=8 and num_cpus=32 in fresh processes,
+    plus a pure-CPU calibration of the host's achievable scaling ceiling."""
     results = {}
     for n in (8, 32):
         proc = subprocess.run(
@@ -164,6 +191,9 @@ def run_scaling() -> dict:
     thr8 = results[8]["crawl_pages_per_sec"]
     thr32 = results[32]["crawl_pages_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
+    ceil8 = _cpu_aggregate(max(2, 8 - 2))
+    ceil32 = _cpu_aggregate(max(2, 32 - 2))
+    cpu_ceiling = (ceil32 / ceil8) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -176,6 +206,9 @@ def run_scaling() -> dict:
         "num_cpus": 32,
         "pages_per_sec_cpus8": thr8,
         "pages_per_sec_cpus32": thr32,
+        # what perfectly-parallel pure CPU achieves on this host, same scale
+        "host_cpu_scaling_ceiling": round(cpu_ceiling, 3),
+        "efficiency_vs_host_ceiling": round(eff / cpu_ceiling, 3),
     }
 
 

@@ -80,7 +80,8 @@ SQL_CHECKED = [
     "dedup_exact", "map_merge", "cache_lookup", "join_fanout", "monitor_changes",
     "topk_docs", "pagination", "filter_strategy", "token_count", "language_id",
     "quality_score", "normalize_hash", "length_stats", "lineitem_pricing",
-    "events_daily", "ann_cosine", "embedding_dedup",
+    "events_daily", "ann_cosine", "embedding_dedup", "supplier_geo",
+    "part_type_stats", "html_markdown",
 ]
 
 
@@ -95,7 +96,8 @@ def test_sql_checked(registry, duck, name):
 
 ROWS_ONLY = [
     "crawl_bfs", "crawl_spans", "minhash_dedup", "simhash_dedup",
-    "doc_fingerprint", "media_features", "serp_parse",
+    "doc_fingerprint", "media_features", "serp_parse", "js_requirement",
+    "ngram_dedup",
 ]
 
 
