@@ -137,6 +137,40 @@ class Frontier:
         self._count -= len(wave)
         return wave
 
+    def pop_wave_admit(self, batch_size: int, admit_fn) -> list[tuple[str, int, int, int]]:
+        """Wave formation gated by an external admitter (politeness actors).
+
+        ``admit_fn(hosts) -> bool mask`` consumes per-host tokens; denied rows
+        keep their order at the head (same deferral semantics as the
+        ``per_host_cap`` path — with rate=burst=cap and one bucket period per
+        round the two are exactly equivalent, see tests).
+        """
+        wave: list = []
+        deferred: list = []
+        while len(wave) < batch_size:
+            self._refill()
+            if not self._head:
+                break
+            take = min(batch_size - len(wave), len(self._head))
+            chunk = [self._head.popleft() for _ in range(take)]
+            mask = admit_fn([hostname_of(r[0]) for r in chunk])
+            admitted_any = False
+            for row, ok in zip(chunk, mask):
+                if ok:
+                    wave.append(row)
+                    admitted_any = True
+                else:
+                    deferred.append(row)
+            if not admitted_any and not self._head and not self._segments and not self._tail:
+                break  # nothing left to scan
+            if not admitted_any and len(deferred) >= batch_size * 4:
+                break  # deep deferral: stop scanning, wait for refill next round
+        if not wave and deferred:  # progress guarantee on full deferral
+            wave.append(deferred.pop(0))
+        self._head.extendleft(reversed(deferred))
+        self._count -= len(wave)
+        return wave
+
     # -- checkpoint ------------------------------------------------------
     def _rows_to_table(self, rows: list[tuple[str, int, int, int]], round_no: int = 0) -> pa.Table:
         return pa.Table.from_pydict(

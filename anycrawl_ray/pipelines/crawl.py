@@ -56,6 +56,12 @@ class CrawlRunConfig:
     stop_after_rounds: int = 0  # crash simulation: checkpoint + stop mid-crawl
     visited_mirror_cap: int = 10_000_000  # driver-side contains() cache bound
     render_iters: int = 0  # per-page fetch/render CPU model (JobContext doc)
+    # politeness enforcement: "driver" applies opts.per_host_cap inline
+    # (conformance-exact, single-process deferral); "actors" routes admission
+    # through the sharded token-bucket PolitenessSet (the scale path; exactly
+    # equivalent at rate=burst=cap with one bucket period per round)
+    politeness: str = "driver"
+    n_politeness_shards: int = 2
 
 
 @dataclass
@@ -71,6 +77,9 @@ class CrawlOutput:
     fetched_rows: list[int] = field(default_factory=list)
     frontier_ops: int = 0  # pushes + pops + seen-set membership ops (bench metric)
     timings: dict = field(default_factory=dict)  # phase -> seconds (perf debug)
+    # per-round skew lineage: (round, top host, share of wave) — surfaces
+    # hot-host pressure so budget caps / salting can be tuned (north rule)
+    host_stats: list = field(default_factory=list)
 
     def order_table(self) -> pa.Table:
         return pa.Table.from_pydict(
@@ -208,12 +217,24 @@ def run_crawl(
         render_iters=cfg.render_iters,
     )
 
+    politeness_set = None
+    if cfg.politeness == "actors" and opts.per_host_cap > 0:
+        from ..state.politeness import PolitenessSet
+
+        politeness_set = PolitenessSet(
+            cfg.n_politeness_shards,
+            default_rate_per_sec=float(opts.per_host_cap),
+            burst=float(opts.per_host_cap),
+        )
+
     visited_mirror: set[str] = set()
     mirror_complete = True
     start_round = 0
     if resume and cfg.checkpoint_dir and os.path.exists(os.path.join(cfg.checkpoint_dir, "meta.json")):
         start_round = _restore(cfg, seen, frontier, out, counters_rows)
-        ck_seen = pq.read_table(os.path.join(cfg.checkpoint_dir, "seen.parquet"))
+        from .. import storage as _st
+
+        ck_seen = _st.read_table(_st.table_uri(cfg.checkpoint_dir, "seen"))
         if ck_seen.num_rows <= cfg.visited_mirror_cap:
             visited_mirror.update(ck_seen.column("url").to_pylist())
         else:
@@ -243,7 +264,13 @@ def run_crawl(
         while len(frontier) > 0 and out.completed + out.failed < opts.limit:
             _t = _time.perf_counter()
             batch_size = min(opts.wave_size, opts.limit - out.completed - out.failed)
-            wave = frontier.pop_wave(batch_size, opts.per_host_cap)
+            if politeness_set is not None:
+                rnd = round_no  # one bucket period per round (deterministic)
+                wave = frontier.pop_wave_admit(
+                    batch_size, lambda hosts: politeness_set.admit(hosts, float(rnd))
+                )
+            else:
+                wave = frontier.pop_wave(batch_size, opts.per_host_cap)
             if not wave:
                 break
             round_no += 1
@@ -287,6 +314,14 @@ def run_crawl(
             out.completed += succ_delta
             out.failed += fail_delta
             out.total_bytes += int(results.column("bytes").to_numpy().sum()) if nrows else 0
+            if nrows:
+                vc = pc.value_counts(results.column("host"))
+                counts = vc.field("counts").to_numpy()
+                top = int(np.argmax(counts))
+                out.host_stats.append(
+                    (round_no, vc.field("values")[top].as_py(), int(counts[top]),
+                     round(float(counts[top]) / nrows, 4))
+                )
 
             # link expansion, wave order then document order (coordinator
             # :103-117). Strategy/path/robots eligibility was computed
@@ -385,19 +420,23 @@ def run_crawl(
         return out
     finally:
         executor.shutdown()
+        if politeness_set is not None:
+            politeness_set.shutdown()
         seen.shutdown()
 
 
 def _checkpoint(cfg, seen, frontier, out, counters_rows, round_no) -> None:
+    from .. import storage
+
     d = cfg.checkpoint_dir
     os.makedirs(d, exist_ok=True)
-    pq.write_table(frontier.dump(round_no), os.path.join(d, "frontier.parquet"))
-    pq.write_table(seen.dump(), os.path.join(d, "seen.parquet"))
-    pq.write_table(
+    storage.write_table(frontier.dump(round_no), storage.table_uri(d, "frontier"))
+    storage.write_table(seen.dump(), storage.table_uri(d, "seen"))
+    storage.write_table(
         pa.Table.from_pylist(counters_rows, schema=COUNTERS_SCHEMA),
-        os.path.join(d, "counters.parquet"),
+        storage.table_uri(d, "counters"),
     )
-    pq.write_table(out.order_table(), os.path.join(d, "order.parquet"))
+    storage.write_table(out.order_table(), storage.table_uri(d, "order"))
     meta = {
         "job_id": cfg.job_id,
         "round": round_no,
@@ -414,14 +453,16 @@ def _checkpoint(cfg, seen, frontier, out, counters_rows, round_no) -> None:
 
 
 def _restore(cfg, seen, frontier, out, counters_rows) -> int:
+    from .. import storage
+
     d = cfg.checkpoint_dir
     with open(os.path.join(d, "meta.json")) as f:
         meta = json.load(f)
-    frontier.restore(pq.read_table(os.path.join(d, "frontier.parquet")))
+    frontier.restore(storage.read_table(storage.table_uri(d, "frontier")))
     frontier._next_seq = meta["next_seq"]
-    seen.restore(pq.read_table(os.path.join(d, "seen.parquet")))
-    counters_rows.extend(pq.read_table(os.path.join(d, "counters.parquet")).to_pylist())
-    order_t = pq.read_table(os.path.join(d, "order.parquet"))
+    seen.restore(storage.read_table(storage.table_uri(d, "seen")))
+    counters_rows.extend(storage.read_table(storage.table_uri(d, "counters")).to_pylist())
+    order_t = storage.read_table(storage.table_uri(d, "order"))
     out.order.extend(
         zip(
             order_t.column("url").to_pylist(),

@@ -664,6 +664,33 @@ def q_serp_parse(sf_dir: str):
     )
 
 
+def q_monitor_diff(sf_dir: str):
+    """J5+M18/M19 end-to-end: as-of self-join per user over event snapshots,
+    pairwise LCS text diff + JSON price classification (rows-only: LCS diff
+    is not SQL-expressible; the boolean changed-flag subset IS oracle-checked
+    by monitor_changes)."""
+    from .pipelines.monitor import monitor_diff_dataset
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "props"])
+    out = monitor_diff_dataset(ds)
+    t = _collect(out)
+    return t.select(
+        ["user_id", "event_id", "changed", "ratio", "change_type", "content_hash"]
+    ).sort_by("event_id")
+
+
+def q_search_scrape(sf_dir: str):
+    """J3 end-to-end: SERP fixture -> parse -> scrape fan-out through the
+    crawl fetch stage -> merge back by url (includes dead URLs)."""
+    from .corpus import CorpusConfig, generate_corpus, host_name, page_url
+    from .pipelines.search import search_scrape
+
+    corpus = generate_corpus(sf_dir, CorpusConfig(n_pages=300))
+    urls = [page_url(host_name(0), i) for i in range(0, 40)]
+    urls += [page_url(host_name(0), 9000 + i) for i in range(5)]  # dead results
+    return search_scrape(corpus, urls, limit=45)
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -693,6 +720,8 @@ def build_queries() -> dict[str, Callable]:
         # rows-only (non-SQL-expressible)
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
+        "monitor_diff": q_monitor_diff,
+        "search_scrape": q_search_scrape,
         "crawl_bfs": q_crawl_bfs,
         "crawl_spans": q_crawl_spans,
         "minhash_dedup": q_minhash_dedup,
