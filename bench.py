@@ -119,6 +119,9 @@ def bench_queries() -> dict[str, float]:
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}
+    import ray.data as rd
+
+    rd.range(64).map_batches(lambda b: b).count()  # warm Ray Data machinery
     for name in names:
         t0 = time.perf_counter()
         reg[name](SF_DIR)
