@@ -135,11 +135,16 @@ def candidate_pairs_from_buckets(
     sub-threshold pairs, which other, more selective bands still catch).
     """
     df = pl.from_arrow(band_table)
+    # one vectorized group-agg, then Python only over the qualifying buckets
+    # (iterating 100k+ tiny groups in Python dominates otherwise)
+    grouped = (
+        df.group_by(["band", "band_hash"])
+        .agg(pl.col("doc_id").alias("ids"), pl.len().alias("n"))
+        .filter((pl.col("n") >= 2) & (pl.col("n") <= max_bucket))
+    )
     pairs: set[tuple] = set()
-    for (_, _), g in df.group_by(["band", "band_hash"]):
-        ids = sorted(g["doc_id"].to_list())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            continue
+    for ids in grouped["ids"].to_list():
+        ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 pairs.add((ids[i], ids[j]))
