@@ -100,8 +100,14 @@ class _PoolExecutor:
     def __init__(self, corpus_ref, n_workers: int, ctx: JobContext):
         # fractional num_cpus: workers + seen shards + driver must co-schedule
         # even at num_cpus=4 (test sessions); fetch is I/O-shaped anyway
+        # max_restarts/max_task_retries: a crashed fetch worker restarts
+        # (rebuilds its index from plasma) and the in-flight chunk re-runs —
+        # fetch rows are idempotent, ordering is restored by discovery_seq
+        # (SURVEY.md §4.2 task-retry row)
         self.workers = [
-            FetchWorker.options(num_cpus=0.5).remote([corpus_ref], ctx)
+            FetchWorker.options(
+                num_cpus=0.5, max_restarts=2, max_task_retries=2
+            ).remote([corpus_ref], ctx)
             for _ in range(n_workers)
         ]
         # ASYNC warm-up: actors spawn + import + build their index in the
