@@ -664,6 +664,55 @@ def q_serp_parse(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (stateful per-key windowing): events of a
+    user belong to one session while gaps stay under 30 minutes. Ray:
+    groupby(user).map_groups cumulative gap flags; SQL: window lag + running
+    sum — value-identical."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        g["session_id"] = (gap > 1800).cumsum().astype("int64")
+        return g[["user_id", "event_id", "session_id"]]
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _collect(out).sort_by("event_id")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 largest documents per language (per-group top-k)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+
+    out = ds.groupby("lang").map_groups(topk, batch_format="pandas")
+    return _collect(out).sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
+def q_daily_active_users(sf_dir: str):
+    """COUNT(DISTINCT) per window: active users per day."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(t.column("ts"), unit="day"),
+             "user_id": t.column("user_id")}
+        )
+
+    mapped = ds.map_batches(day, batch_format="pyarrow")
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": [g["day"].iloc[0]], "active_users": [g["user_id"].nunique()]}
+        )
+
+    out = mapped.groupby("day").map_groups(nunique, batch_format="pandas")
+    return _collect(out).sort_by("day")
+
+
 def q_monitor_diff(sf_dir: str):
     """J5+M18/M19 end-to-end: as-of self-join per user over event snapshots,
     pairwise LCS text diff + JSON price classification (rows-only: LCS diff
@@ -717,6 +766,9 @@ def build_queries() -> dict[str, Callable]:
         "supplier_geo": q_supplier_geo,
         "part_type_stats": q_part_type_stats,
         "html_markdown": q_html_markdown,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "daily_active_users": q_daily_active_users,
         # rows-only (non-SQL-expressible)
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
@@ -887,6 +939,30 @@ def build_oracle_sql() -> dict[str, str]:
                    md5('# ' || source || chr(10) || chr(10) ||
                        trim(regexp_replace(text, '\s+', ' ', 'g'))) AS md_hash
             FROM documents ORDER BY doc_id
+        """,
+        "sessionize": """
+            SELECT user_id, event_id,
+                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       COALESCE(EPOCH(ts - LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS gap
+                FROM events
+            )
+            ORDER BY event_id
+        """,
+        "topk_per_group": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id
+            ) <= 3
+            ORDER BY lang, doc_id
+        """,
+        "daily_active_users": """
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(DISTINCT user_id) AS active_users
+            FROM events GROUP BY 1 ORDER BY day
         """,
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

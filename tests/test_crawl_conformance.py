@@ -36,6 +36,16 @@ def test_limits(ray_session, small_corpus, limit):
     assert_conformance(small_corpus, SEED, CrawlOptions(limit=limit))
 
 
+@pytest.mark.parametrize("wave_size", [1, 3, 11])
+def test_wave_sizes(ray_session, small_corpus, wave_size):
+    """Wave size is a parameter, not a constant: order parity must hold for
+    any wave (the reference hardcodes 5; the engine must agree with the
+    model at every setting)."""
+    assert_conformance(
+        small_corpus, SEED, CrawlOptions(limit=30, wave_size=wave_size)
+    )
+
+
 @pytest.mark.parametrize("strategy", ["same-domain", "same-origin", "all"])
 def test_strategies(ray_session, small_corpus, strategy):
     assert_conformance(small_corpus, SEED, CrawlOptions(limit=25, strategy=strategy))
