@@ -907,7 +907,8 @@ def build_oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "length_stats": """
-            SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -942,8 +943,9 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             SELECT user_id, event_id,
-                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                   CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                       AS session_id
             FROM (
                 SELECT user_id, event_id, ts,
                        COALESCE(EPOCH(ts - LAG(ts) OVER

@@ -64,7 +64,14 @@ def assert_frames_match(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     a, b = _canon(ray_df), _canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+        a_float = np.issubdtype(a[c].dtype, np.floating)
+        b_float = np.issubdtype(b[c].dtype, np.floating)
+        # int-vs-float dtype drift would change the driver's value hash even
+        # when values are numerically equal — treat it as a mismatch
+        assert a_float == b_float, (
+            f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype}"
+        )
+        if a_float:
             assert np.allclose(
                 av.astype(np.float64), bv.astype(np.float64), atol=1e-9, equal_nan=True
             ), f"{name}.{c}: float values differ"
