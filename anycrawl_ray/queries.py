@@ -602,8 +602,13 @@ def q_simhash_dedup(sf_dir: str):
 
     for b in range(bands.shape[1]):
         df = pl.DataFrame({"id": ids, "band": bands[:, b]})
-        for (_,), g in df.group_by(["band"]):
-            gids = sorted(g["id"].to_list())
+        grouped = (
+            df.group_by("band")
+            .agg(pl.col("id").alias("ids"), pl.len().alias("n"))
+            .filter((pl.col("n") >= 2) & (pl.col("n") <= 64))  # hot-bucket cap
+        )
+        for gids in grouped["ids"].to_list():
+            gids = sorted(gids)
             for i in range(len(gids)):
                 for j in range(i + 1, len(gids)):
                     pairs.add((gids[i], gids[j]))
