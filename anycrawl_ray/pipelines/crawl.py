@@ -221,6 +221,7 @@ def run_crawl(
         robots=opts.robots,
         spans_dir=cfg.spans_out_dir,
         render_iters=cfg.render_iters,
+        scrape_paths=tuple(opts.scrape_paths),
     )
 
     politeness_set = None

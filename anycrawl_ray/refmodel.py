@@ -46,6 +46,9 @@ class CrawlOptions:
     strategy: str = "same-domain"
     include_paths: tuple[str, ...] = ()
     exclude_paths: tuple[str, ...] = ()
+    # M12: emit page content only for matching URLs, still expand links
+    # (reference engines/Base.ts:517-554); empty = scrape everything
+    scrape_paths: tuple[str, ...] = ()
     wave_size: int = 5          # hardcoded 5 in the reference (:33)
     per_host_cap: int = 0       # 0 = off (reference behaviour)
     robots: dict[str, list[str]] | None = None  # host -> disallow path prefixes
@@ -74,6 +77,7 @@ class CrawlTrace:
     failed: int = 0
     rounds: int = 0
     fetched_rows: list[int] = field(default_factory=list)  # corpus rows, fetch order
+    emitted: list[str] = field(default_factory=list)  # urls whose content is emitted (M12)
 
 
 def robots_disallowed(url: str, robots: dict[str, list[str]] | None) -> bool:
@@ -144,6 +148,10 @@ def run_reference_crawl(
             tr.completed += 1
             if res.row_idx is not None:
                 tr.fetched_rows.append(res.row_idx)
+            if not opts.scrape_paths or matches_paths(
+                url, list(opts.scrape_paths), []
+            ):
+                tr.emitted.append(url)  # M12 content gate (Base.ts:517-554)
             results.append((res.links, depth))
 
         for r in results:          # (:103-117)

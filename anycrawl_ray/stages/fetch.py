@@ -69,6 +69,9 @@ class JobContext:
     robots: dict | None = None
     spans_dir: str | None = None
     filter_links: bool = True
+    # M12: persist page content only for URLs matching these patterns; links
+    # still expand (reference engines/Base.ts:517-554). Empty = keep all.
+    scrape_paths: tuple[str, ...] = ()
     round_no: int = 0  # used by the per-round Dataset executor for span parts
     # Deterministic per-page CPU cost modeling browser-engine fetch+render
     # (reference runs Playwright/Puppeteer pools at concurrency 50,
@@ -252,13 +255,22 @@ class _WorkerCore:
         self.matcher = PathMatcher(
             list(self.ctx.include_paths), list(self.ctx.exclude_paths)
         )
+        self._scrape_matcher = PathMatcher(list(self.ctx.scrape_paths), [])
 
     def process(self, batch: pa.Table, round_no: int = 0, part_id: int = 0) -> pa.Table:
         meta, spans_table = fetch_parse_batch(batch, self.idx, self.ctx, self.matcher)
         if self.ctx.spans_dir and spans_table.num_rows:
-            d = os.path.join(self.ctx.spans_dir, f"round={round_no:05d}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(spans_table, os.path.join(d, f"part-{part_id:04d}.parquet"))
+            if self.ctx.scrape_paths:  # M12 content gate
+                keep = self._scrape_matcher.match_many(
+                    spans_table.column("url").to_pylist()
+                )
+                spans_table = spans_table.filter(pa.array(keep))
+            if spans_table.num_rows:
+                d = os.path.join(self.ctx.spans_dir, f"round={round_no:05d}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    spans_table, os.path.join(d, f"part-{part_id:04d}.parquet")
+                )
         return meta
 
 

@@ -94,6 +94,16 @@ def test_robots_filter(ray_session, small_corpus):
     assert all(not u.startswith("http://h01.example.test/") for u in fetched)
 
 
+def test_visited_mirror_overflow_falls_back_to_shards(ray_session, small_corpus):
+    """When the driver-side contains() mirror overflows, membership probes
+    fall back to the seen-set shard actors — conformance must hold either
+    way (the 10^10-scale path)."""
+    opts = CrawlOptions(limit=30, strategy="all")
+    assert_conformance(
+        small_corpus, SEED, opts, CrawlRunConfig(visited_mirror_cap=5)
+    )
+
+
 def test_dataset_executor_matches_pool(ray_session, small_corpus):
     opts = CrawlOptions(limit=30, strategy="all", wave_size=16)
     cfg = CrawlRunConfig(executor="dataset", n_fetch_workers=2, dataset_batch_size=4)
