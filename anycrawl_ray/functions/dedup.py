@@ -12,11 +12,20 @@ Five dedup families, each expressed Ray-Data-first:
              (ray.put once, read per batch) — the O(n^2/p) baseline
 - embedding: cosine near-dup over list<float> columns via blocked matmul
 
-Scale notes (100 TB): candidate-pair verification here re-reads shingles from
-a broadcast corpus (fine at sandbox scale); the scale path co-partitions
-doc shingles by doc_id and verifies inside a hash-join stage instead. Band
-tables shuffle only (band_id, band_hash, doc_id) — ~24 bytes/row — never the
-documents themselves.
+Scale notes (100 TB): the distributed path (MinHashBander / SimHashBander +
+the per-partition bucket kernels below) shuffles only band rows —
+(band, band_hash, doc_id, part), ~28 bytes/row — never documents or
+signatures. Buckets are co-located by ``part = mix(band, band_hash) % P`` so
+ONE groupby("part") shuffle covers candidate extraction (and, for simhash,
+the full hamming verify), with a vectorized polars group_by inside each of
+the P partition tasks instead of per-bucket Python group calls. MinHash
+verification runs against candidate-only shingles computed distributed and
+either (a) read zero-copy from plasma shards by a verifier actor pool
+(broadcast semi-join; right while the candidate set is << corpus) or
+(b) hash-joined co-partitioned via Dataset.join (the extreme-scale path —
+no single process ever holds all candidate shingles). Legacy driver-side
+helpers (band_rows / candidate_pairs_from_buckets / verify_pairs) remain as
+the brute-force reference the distributed path is tested against.
 
 Public algorithms: MinHash (Broder 1997), LSH banding (Indyk-Motwani / MMDS
 ch.3), SimHash (Charikar 2002).
@@ -28,6 +37,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 HASH_SEED = 7777
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -163,6 +173,269 @@ def verify_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Distributed LSH path (band rows in map_batches -> one co-partitioned
+# groupby("part") -> vectorized per-partition bucket kernels)
+# ---------------------------------------------------------------------------
+
+_FNV_OFF = np.uint64(1469598103934665603)
+_FNV_P = np.uint64(1099511628211)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_hash_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) FNV fold of each band's signature rows, vectorized over
+    docs. Fold order matches band_rows() exactly (parity-tested)."""
+    n, num_perms = sigs.shape
+    r = max(1, num_perms // bands)
+    out = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            chunk = sigs[:, bi * r : (bi + 1) * r]
+            h = np.full(n, _FNV_OFF, dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h = (h ^ chunk[:, c]) * _FNV_P
+            out[:, bi] = h
+    return out
+
+
+def _bucket_part(band: np.ndarray, band_hash: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic partition id from the bucket key — all rows of one
+    (band, hash) bucket land in the same partition."""
+    with np.errstate(over="ignore"):
+        mixed = band_hash ^ (_MIX * (band.astype(np.uint64) + np.uint64(1)))
+    return (mixed % np.uint64(n_parts)).astype(np.int32)
+
+
+def make_minhash_band_fn(num_perms: int = 64, k: int = 3, bands: int = 32,
+                         n_parts: int = 32):
+    """Task-based map_batches fn: (doc_id, text) -> LSH band rows
+    (band int32, band_hash uint64, doc_id int64, part int32) — ~28 B/row.
+    Signatures never leave the task; only bucket keys shuffle. A plain
+    function (not an actor pool) on purpose: the captured perm params are a
+    few hundred bytes, so task workers reuse the shared pool with zero
+    actor cold-start."""
+    a, b = _perm_params(num_perms)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if texts:
+            sigs = np.stack(
+                [minhash_signature(np.unique(shingle_hashes(t, k)), a, b)
+                 for t in texts]
+            )
+        else:
+            sigs = np.zeros((0, num_perms), dtype=np.uint64)
+        bh = band_hash_matrix(sigs, bands)
+        n = len(texts)
+        band_col = np.tile(np.arange(bands, dtype=np.int32), n)
+        hash_col = bh.reshape(-1)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        part = _bucket_part(band_col, hash_col, n_parts)
+        return pa.table(
+            {
+                "band": pa.array(band_col, pa.int32()),
+                "band_hash": pa.array(hash_col, pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def bucket_candidate_pairs(t: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Per-PARTITION candidate extraction (runs inside groupby('part')
+    .map_groups, so there are only P groups, not one per bucket): one
+    vectorized polars group_by over the partition's band rows, then Python
+    only over qualifying buckets. Hot-bucket cap rationale as in
+    candidate_pairs_from_buckets (minhash-only: other, more selective bands
+    still catch sub-threshold pairs)."""
+    df = pl.from_arrow(t.select(["band", "band_hash", "doc_id"]))
+    grouped = (
+        df.group_by(["band", "band_hash"])
+        .agg(pl.col("doc_id").alias("ids"), pl.len().alias("n"))
+        .filter((pl.col("n") >= 2) & (pl.col("n") <= max_bucket))
+    )
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for ids in grouped["ids"].to_list():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pa.table(
+        {"a_id": pa.array(a_out, pa.int64()), "b_id": pa.array(b_out, pa.int64())}
+    )
+
+
+def make_shingle_fn(ids_ref, k: int = 3):
+    """Task-based map_batches fn: emit (doc_id, sh binary) for candidate
+    docs only (semi-join pushdown — the PRE-SORTED candidate id array is
+    broadcast once via ray.put and read from plasma per worker; swap for a
+    bloom filter at extreme scale). Shingles are binary-encoded uint64
+    arrays, not list<uint64>: Arrow's hash join (Acero) rejects list payload
+    columns, and binary is denser anyway."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cand_ids = ray.get(ids_ref)  # pre-sorted; plasma-cached per worker
+        ids = batch.column("doc_id").to_numpy()
+        pos = np.searchsorted(cand_ids, ids)
+        pos = np.clip(pos, 0, len(cand_ids) - 1)
+        mask = cand_ids[pos] == ids
+        keep = batch.filter(pa.array(mask))
+        sh = shingle_hashes_batch(keep.column("text").to_pylist(), k=k)
+        return pa.table(
+            {
+                "doc_id": keep.column("doc_id"),
+                "sh": pa.array([s.tobytes() for s in sh], pa.binary()),
+            }
+        )
+
+    return fn
+
+
+# worker-side memo for the broadcast verify dict (task workers are reused
+# across batches, so the dict builds once per worker, not once per batch);
+# keyed by the shard refs' identity, capped at the latest entry
+_SHINGLE_DICT_CACHE: dict = {}
+
+
+def _shingle_dict(refs) -> dict:
+    key = refs[0].hex() if refs else ""
+    if key not in _SHINGLE_DICT_CACHE:
+        sh: dict[int, np.ndarray] = {}
+        for tb in ray.get(list(refs)):
+            for d, s in zip(tb.column("doc_id").to_pylist(), tb.column("sh").to_pylist()):
+                sh[d] = np.frombuffer(s, dtype=np.uint64)
+        _SHINGLE_DICT_CACHE.clear()
+        _SHINGLE_DICT_CACHE[key] = sh
+    return _SHINGLE_DICT_CACHE[key]
+
+
+def make_plasma_verify_fn(boxed_refs, threshold: float):
+    """Task-based map_batches fn over candidate-pair batches: exact-Jaccard
+    verify against candidate shingle shards read zero-copy from plasma
+    (boxed ObjectRefs — the driver never holds shingle bytes). Right choice
+    while the candidate set is small relative to worker heap; beyond that
+    use verify_pairs_join (co-partitioned)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = _shingle_dict(boxed_refs[0])
+        ao, bo, jo = [], [], []
+        for a_id, b_id in zip(
+            batch.column("a_id").to_pylist(), batch.column("b_id").to_pylist()
+        ):
+            j = jaccard(sh[a_id], sh[b_id])
+            if j >= threshold:
+                ao.append(a_id)
+                bo.append(b_id)
+                jo.append(round(j, 6))
+        return pa.table(
+            {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
+             "jaccard": pa.array(jo, pa.float64())}
+        )
+
+    return fn
+
+
+def _id_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        mixed = (ids.astype(np.uint64) + np.uint64(1)) * _MIX
+    return (mixed % np.uint64(n_parts)).astype(np.int32)
+
+
+def verify_pairs_join(cand, sh_ds, threshold: float, num_partitions: int = 8):
+    """Co-partitioned verify (the extreme-scale path): a reduce-side join —
+    no process ever holds the full candidate shingle set. Each pair emits one
+    row per side keyed by that side's doc_id; shingle rows carry the same
+    key; ONE groupby co-locates them (vectorized polars join inside each of
+    the P partition tasks), then a second groupby co-locates a pair's two
+    sides by hash(a_id, b_id) and computes exact Jaccard. Returns a Dataset
+    (a_id, b_id, jaccard), possibly with cross-band duplicate pairs (the
+    caller dedups the output-sized table).
+
+    (Not Dataset.join: Ray 2.49's hash-join aggregator emits schema-less
+    blocks for partitions that received no left rows, which breaks chained
+    joins — and this formulation needs one less shuffle anyway.)"""
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").to_numpy()
+        b = t.column("b_id").to_numpy()
+        key = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(key, pa.int64()),
+                "a_id": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b_id": pa.array(np.concatenate([b, b]), pa.int64()),
+                "sh": pa.array([None] * (2 * len(a)), pa.binary()),
+                "part": pa.array(_id_part(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "a_id": pa.array([None] * n, pa.int64()),
+                "b_id": pa.array([None] * n, pa.int64()),
+                "sh": t.column("sh"),
+                "part": pa.array(_id_part(ids, num_partitions), pa.int32()),
+            }
+        )
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "a_id", "b_id", "sh"]))
+        pairs = df.filter(pl.col("sh").is_null()).drop("sh")
+        shs = df.filter(pl.col("sh").is_not_null()).select(["doc_id", "sh"])
+        joined = pairs.join(shs, on="doc_id", how="inner")
+        a = joined["a_id"].to_numpy().astype(np.int64)
+        b = joined["b_id"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            p2 = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % np.uint64(
+                num_partitions
+            )
+        return pa.table(
+            {
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "is_a": pa.array(joined["doc_id"].to_numpy() == a, pa.bool_()),
+                "sh": pa.array(joined["sh"].to_list(), pa.binary()),
+                "part2": pa.array(p2.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def pair_verify(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a_id", "b_id", "is_a", "sh"]))
+        grouped = df.group_by(["a_id", "b_id"]).agg(
+            pl.col("sh").filter(pl.col("is_a")).first().alias("sh_a"),
+            pl.col("sh").filter(~pl.col("is_a")).first().alias("sh_b"),
+        )
+        ao, bo, jo = [], [], []
+        for a_id, b_id, x, y in grouped.iter_rows():
+            if x is None or y is None:
+                continue  # a side's shingles missing (doc absent) — skip
+            j = jaccard(np.frombuffer(x, dtype=np.uint64),
+                        np.frombuffer(y, dtype=np.uint64))
+            if j >= threshold:
+                ao.append(a_id)
+                bo.append(b_id)
+                jo.append(round(j, 6))
+        return pa.table(
+            {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
+             "jaccard": pa.array(jo, pa.float64())}
+        )
+
+    sides = cand.map_batches(pair_sides, batch_format="pyarrow")
+    keyed_sh = sh_ds.map_batches(sh_rows, batch_format="pyarrow")
+    unioned = sides.union(keyed_sh)
+    attached = unioned.groupby("part").map_groups(attach, batch_format="pyarrow")
+    return attached.groupby("part2").map_groups(pair_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -191,6 +464,78 @@ def simhash_bands(h: np.ndarray, n_bands: int = 4) -> np.ndarray:
     """(n, n_bands) 16-bit band values — equal band => hamming candidate."""
     shifts = [np.uint64(16 * i) for i in range(n_bands)]
     return np.stack([(h >> s) & np.uint64(0xFFFF) for s in shifts], axis=1)
+
+
+def make_simhash_band_fn(n_bands: int = 4, n_parts: int = 32):
+    """Task-based map_batches fn: (doc_id, text) -> band rows carrying the
+    8-byte simhash, so the hamming verify happens INSIDE the single bucket
+    shuffle (no second pass, no driver loop):
+    (band, band_val, doc_id, simhash, part)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = simhash64_batch(batch.column("text").to_pylist())
+        bands = simhash_bands(h, n_bands)  # (n, n_bands)
+        n = len(h)
+        band_col = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        val_col = bands.reshape(-1)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+        part = _bucket_part(band_col, val_col, n_parts)
+        return pa.table(
+            {
+                "band": pa.array(band_col, pa.int32()),
+                "band_val": pa.array(val_col, pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
+                "simhash": pa.array(np.repeat(h, n_bands), pa.uint64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def simhash_bucket_verify(
+    t: pa.Table, max_hamming: int = 3, chunk: int = 128
+) -> pa.Table:
+    """Per-PARTITION simhash verify (runs inside groupby('part').map_groups):
+    polars group_by co-located buckets, then ALL pairs of each bucket checked
+    by chunked vectorized xor+popcount — no hot-bucket cap (a pair at
+    hamming<=3 whose differing bits span 3 bands shares exactly one band, so
+    dropping any over-cap bucket loses real near-dups; round-1 ADVICE).
+    Memory is bounded at chunk x bucket x 64 unpacked bits per step; a
+    degenerate bucket of B docs still costs O(B^2) hamming ops — that is
+    inherent to in-bucket verification, but it is vectorized and isolated to
+    the one partition task owning the bucket."""
+    df = pl.from_arrow(t.select(["band", "band_val", "doc_id", "simhash"]))
+    grouped = (
+        df.group_by(["band", "band_val"])
+        .agg(pl.col("doc_id").alias("ids"), pl.col("simhash").alias("hs"),
+             pl.len().alias("n"))
+        .filter(pl.col("n") >= 2)
+    )
+    ao: list[int] = []
+    bo: list[int] = []
+    ho: list[int] = []
+    for ids, hs in zip(grouped["ids"].to_list(), grouped["hs"].to_list()):
+        order = np.argsort(np.asarray(ids, dtype=np.int64))
+        ids_s = np.asarray(ids, dtype=np.int64)[order]
+        hs_s = np.asarray(hs, dtype=np.uint64)[order]
+        m = len(ids_s)
+        for i0 in range(0, m, chunk):
+            i1 = min(i0 + chunk, m)
+            x = np.bitwise_xor(hs_s[i0:i1, None], hs_s[None, :])  # (c, m)
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(i1 - i0, m, 8), axis=2
+            ).sum(axis=2)
+            ii, jj = np.where(ham <= max_hamming)
+            keep = (ii + i0) < jj  # upper triangle only
+            for i, j in zip(ii[keep], jj[keep]):
+                ao.append(int(ids_s[i + i0]))
+                bo.append(int(ids_s[j]))
+                ho.append(int(ham[i, j]))
+    return pa.table(
+        {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
+         "hamming": pa.array(ho, pa.int32())}
+    )
 
 
 # ---------------------------------------------------------------------------

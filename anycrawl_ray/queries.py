@@ -561,68 +561,107 @@ def q_crawl_spans(sf_dir: str, _tmp="/tmp/anycrawl_q_spans"):
     return pq.read_table(_tmp).sort_by("url")
 
 
+def _dedup_pair_table(t: pa.Table, value_col: str, value_type=None) -> pa.Table:
+    """Drop cross-band duplicate pairs from a verified-pair OUTPUT table
+    (output-sized — this is the query result being returned) and sort."""
+    if t.num_rows == 0:
+        vt = value_type or pa.float64()
+        return pa.table(
+            {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
+             value_col: pa.array([], vt)}
+        )
+    df = t.to_pandas().drop_duplicates(["a_id", "b_id"])
+    df = df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def minhash_dedup_dataset(
+    docs: rd.Dataset, *, num_perms: int = 64, k: int = 3, bands: int = 32,
+    threshold: float = 0.5, n_parts: int = 32, verify: str = "broadcast",
+) -> pa.Table:
+    """Distributed MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    Shape (100 TB): signatures/banding vectorized inside map_batches — only
+    ~28 B/row bucket keys shuffle; candidate extraction is ONE co-partitioned
+    groupby("part") with a vectorized polars kernel per partition; shingles
+    are computed distributed for candidate docs only (semi-join pushdown) and
+    verified either by an actor pool reading plasma shards zero-copy
+    (verify="broadcast") or by a co-partitioned hash join
+    (verify="join" — Dataset.join on a_id/b_id; the extreme-scale path).
+    The only driver-held objects are the candidate doc-id set (the broadcast
+    filter; swap for a bloom filter at extreme scale) and the final
+    output-sized pair table.
+    """
+    band_ds = docs.map_batches(
+        dd.make_minhash_band_fn(num_perms=num_perms, k=k, bands=bands,
+                                n_parts=n_parts),
+        batch_format="pyarrow", batch_size=2048,
+    )
+    cand = band_ds.groupby("part").map_groups(
+        dd.bucket_candidate_pairs, batch_format="pyarrow"
+    ).materialize()
+    # distinct candidate doc ids (the semi-join broadcast filter) in ONE pass
+    both = cand.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pa.concat_arrays(
+                [t.column("a_id").combine_chunks(), t.column("b_id").combine_chunks()]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    ids = np.unique(np.array(both.unique("doc_id"), dtype=np.int64))
+    if len(ids) == 0:
+        return pa.table(
+            {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    ids_ref = ray.put(ids)  # pre-sorted by np.unique
+    sh_ds = docs.map_batches(
+        dd.make_shingle_fn(ids_ref, k=k), batch_format="pyarrow", batch_size=2048,
+    )
+    if verify == "join":
+        out = dd.verify_pairs_join(cand, sh_ds, threshold)
+    else:
+        # box the refs in a list so Ray does NOT auto-deref them into the
+        # task spec (round-1 perf gotcha) — each verify task ray.gets the
+        # shards from plasma itself (worker-side memoized dict)
+        boxed = [sh_ds.materialize().to_arrow_refs()]
+        out = cand.map_batches(
+            dd.make_plasma_verify_fn(boxed, threshold), batch_format="pyarrow",
+        )
+    return _dedup_pair_table(_collect(out), "jaccard")
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold 0.5)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = _collect(ds.map_batches( dd.MinHasher, fn_constructor_kwargs={"num_perms": 64, "k": 3}, concurrency=2, batch_format="pyarrow", batch_size=2048, ))
-    bands = dd.band_rows(sigs, bands=32)
-    cand = dd.candidate_pairs_from_buckets(bands)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    sh = {
-        d: s
-        for d, s in zip(
-            docs.column("doc_id").to_pylist(),
-            dd.shingle_hashes_batch(docs.column("text").to_pylist()),
-        )
-    }
-    verified = dd.verify_pairs(cand, sh, threshold=0.5)
-    return pa.table(
-        {"a_id": pa.array([v[0] for v in verified], pa.int64()),
-         "b_id": pa.array([v[1] for v in verified], pa.int64()),
-         "jaccard": pa.array([round(v[2], 6) for v in verified], pa.float64())}
+    return minhash_dedup_dataset(ds)
+
+
+def simhash_dedup_dataset(
+    docs: rd.Dataset, *, n_bands: int = 4, max_hamming: int = 3,
+    n_parts: int = 32,
+) -> pa.Table:
+    """Distributed SimHash near-dups: band rows carry the 8-byte simhash so
+    blocking AND the full hamming verify happen inside ONE co-partitioned
+    groupby("part") shuffle (chunked vectorized xor+popcount per bucket, no
+    hot-bucket cap — full recall; see round-1 ADVICE). The driver only
+    deduplicates the output-sized verified-pair table."""
+    band_ds = docs.map_batches(
+        dd.make_simhash_band_fn(n_bands=n_bands, n_parts=n_parts),
+        batch_format="pyarrow", batch_size=2048,
     )
+    out = band_ds.groupby("part").map_groups(
+        lambda t: dd.simhash_bucket_verify(t, max_hamming=max_hamming),
+        batch_format="pyarrow",
+    )
+    return _dedup_pair_table(_collect(out), "hamming", pa.int32())
 
 
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dups: 16-bit band blocking + hamming<=3 verify."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def sim(t: pa.Table) -> pa.Table:
-        h = dd.simhash64_batch(t.column("text").to_pylist())
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "simhash": pa.array(h, pa.uint64())}
-        )
-
-    t = _collect(ds.map_batches(sim, batch_format="pyarrow", batch_size=2048))
-    ids = t.column("doc_id").to_numpy()
-    h = t.column("simhash").to_numpy()
-    bands = dd.simhash_bands(h)
-    pairs: set[tuple[int, int]] = set()
-    import polars as pl
-
-    for b in range(bands.shape[1]):
-        df = pl.DataFrame({"id": ids, "band": bands[:, b]})
-        grouped = (
-            df.group_by("band")
-            .agg(pl.col("id").alias("ids"), pl.len().alias("n"))
-            .filter((pl.col("n") >= 2) & (pl.col("n") <= 64))  # hot-bucket cap
-        )
-        for gids in grouped["ids"].to_list():
-            gids = sorted(gids)
-            for i in range(len(gids)):
-                for j in range(i + 1, len(gids)):
-                    pairs.add((gids[i], gids[j]))
-    out = []
-    pos = {int(i): k for k, i in enumerate(ids)}
-    for a, b in sorted(pairs):
-        dist = int(dd.hamming64(h[pos[a] : pos[a] + 1], h[pos[b] : pos[b] + 1])[0])
-        if dist <= 3:
-            out.append((a, b, dist))
-    return pa.table(
-        {"a_id": pa.array([o[0] for o in out], pa.int64()),
-         "b_id": pa.array([o[1] for o in out], pa.int64()),
-         "hamming": pa.array([o[2] for o in out], pa.int32())}
-    )
+    return simhash_dedup_dataset(ds)
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -971,15 +1010,21 @@ def build_oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS active_users
             FROM events GROUP BY 1 ORDER BY day
         """,
+        # CAST(... AS DOUBLE[]) everywhere: DuckDB's list_cosine_similarity on a
+        # FLOAT[] column computes in float32, while the Ray side is float64 —
+        # without the cast ROUND(...,6) yields float32-representable values and
+        # the driver's value hash mismatches (round-1 red cell).
         "ann_cosine": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
-                   ROUND(list_cosine_similarity(embedding, qe), 6) AS cos
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
             FROM embeddings, q
             ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "embedding_dedup": """
-            WITH n AS (SELECT vec_id, embedding FROM embeddings)
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                       FROM embeddings)
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
             FROM n a JOIN n b ON a.vec_id < b.vec_id

@@ -95,3 +95,105 @@ def test_cosine_pairs_and_normalize():
     pairs = dd.cosine_pairs_block(ids, n, ids, n, threshold=0.95)
     keys = {(a, b) for a, b, _ in pairs}
     assert (10, 20) in keys and (10, 30) not in keys
+
+
+# ---------------------------------------------------------------------------
+# Distributed path (band rows in map_batches -> one co-partitioned groupby)
+# ---------------------------------------------------------------------------
+
+
+def test_band_hash_matrix_matches_band_rows():
+    docs = make_docs()
+    hasher = dd.MinHasher(num_perms=64, k=3)
+    sigs_t = hasher(pa.table({"doc_id": list(docs), "text": list(docs.values())}))
+    legacy = dd.band_rows(sigs_t, bands=32)
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in sigs_t.column("signature").to_pylist()])
+    mat = dd.band_hash_matrix(sigs, bands=32)
+    assert mat.shape == (len(docs), 32)
+    legacy_hashes = np.asarray(legacy.column("band_hash")).reshape(len(docs), 32)
+    assert (mat == legacy_hashes.astype(np.uint64)).all()
+
+
+def _int_docs_table():
+    docs = make_docs()
+    return pa.table(
+        {"doc_id": pa.array(list(range(len(docs))), pa.int64()),
+         "text": list(docs.values())}
+    ), docs
+
+
+def test_minhash_distributed_matches_legacy(ray_session):
+    import ray.data as rd
+    from anycrawl_ray.queries import minhash_dedup_dataset
+
+    table, docs = _int_docs_table()
+    # legacy driver-side path
+    hasher = dd.MinHasher(num_perms=64, k=3)
+    cand = dd.candidate_pairs_from_buckets(dd.band_rows(hasher(table), bands=32))
+    sh = {
+        d: s
+        for d, s in zip(
+            table.column("doc_id").to_pylist(),
+            dd.shingle_hashes_batch(table.column("text").to_pylist()),
+        )
+    }
+    legacy = {(a, b) for a, b, _ in dd.verify_pairs(cand, sh, threshold=0.5)}
+
+    out = minhash_dedup_dataset(rd.from_arrow(table), n_parts=4)
+    got = set(zip(out.column("a_id").to_pylist(), out.column("b_id").to_pylist()))
+    assert got == legacy and len(got) >= 2
+
+
+def test_minhash_join_verify_matches_broadcast(ray_session):
+    import ray.data as rd
+    from anycrawl_ray.queries import minhash_dedup_dataset
+
+    table, _ = _int_docs_table()
+    a = minhash_dedup_dataset(rd.from_arrow(table), n_parts=4, verify="broadcast")
+    b = minhash_dedup_dataset(rd.from_arrow(table), n_parts=4, verify="join")
+    assert a.to_pydict() == b.to_pydict()
+
+
+def brute_force_simhash_pairs(ids, texts, max_hamming=3):
+    h = dd.simhash64_batch(texts)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if int(dd.hamming64(h[i : i + 1], h[j : j + 1])[0]) <= max_hamming:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_simhash_distributed_full_recall_on_hot_bucket(ray_session):
+    """A degenerate band bucket (>64 docs sharing one 16-bit band value) must
+    NOT drop true hamming<=3 pairs — the round-1 cap did (ADVICE).
+
+    Brute force over all pairs is the recall oracle. Only pairs that share at
+    least one band are reachable by blocking, and hamming<=3 over 4x16-bit
+    bands guarantees a shared band (pigeonhole), so distributed == brute."""
+    import ray.data as rd
+    from anycrawl_ray.queries import simhash_dedup_dataset
+
+    # 240 docs over 35 near-identical variants -> degenerate >64-doc band
+    # buckets plus controlled near-dup pairs
+    base = " ".join(f"tok{i}" for i in range(40))
+    texts = []
+    for i in range(240):
+        # vary two rare words -> small hamming perturbations of a shared hash
+        texts.append(base + f" uniq{i % 7} tail{i % 5}")
+    ids = list(range(240))
+    brute = brute_force_simhash_pairs(ids, texts)
+    assert brute, "fixture must contain true near-dup pairs"
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}))
+    out = simhash_dedup_dataset(ds, n_parts=4)
+    got = set(zip(out.column("a_id").to_pylist(), out.column("b_id").to_pylist()))
+    assert got == brute  # full recall, no hot-bucket drop
+
+    # sanity: the fixture really does produce an over-64 bucket somewhere
+    h = dd.simhash64_batch(texts)
+    bands = dd.simhash_bands(h)
+    from collections import Counter
+
+    counts = Counter((b, int(v)) for row in bands for b, v in enumerate(row))
+    assert max(counts.values()) > 64

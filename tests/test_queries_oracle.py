@@ -72,9 +72,18 @@ def assert_frames_match(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
             f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype}"
         )
         if a_float:
-            assert np.allclose(
-                av.astype(np.float64), bv.astype(np.float64), atol=1e-9, equal_nan=True
-            ), f"{name}.{c}: float values differ"
+            # mirror the driver's float treatment: quantize to ~9 decimals
+            # then compare EXACTLY. allclose's default rtol=1e-5 hid the
+            # round-1 embedding_dedup float32 mismatch (7e-9 drift), while
+            # last-bit pc.round-vs-SQL-ROUND noise (~5e-13) does pass the
+            # driver — 9-decimal quantization separates the two.
+            avf = np.round(av.astype(np.float64), 9)
+            bvf = np.round(bv.astype(np.float64), 9)
+            eq = (avf == bvf) | (np.isnan(avf) & np.isnan(bvf))
+            assert eq.all(), (
+                f"{name}.{c}: float values differ beyond 1e-9 at rows "
+                f"{list(np.flatnonzero(~eq)[:5])}"
+            )
         else:
             eq = pd.Series(av).astype(str).eq(pd.Series(bv).astype(str))
             assert eq.all(), (
