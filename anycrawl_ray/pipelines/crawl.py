@@ -62,6 +62,13 @@ class CrawlRunConfig:
     # equivalent at rate=burst=cap with one bucket period per round)
     politeness: str = "driver"
     n_politeness_shards: int = 2
+    # stream_order: do NOT hold the whole crawl order in driver memory — the
+    # driver keeps only the rows since the last checkpoint (flushed to an
+    # order segment per checkpoint) and order_table() reads the segments back
+    # from disk. Requires checkpoint_dir. At design scale (10^10 URLs) the
+    # order is a table, not a driver list; the default False preserves the
+    # in-memory list for small conformance jobs.
+    stream_order: bool = False
 
 
 @dataclass
@@ -80,16 +87,41 @@ class CrawlOutput:
     # per-round skew lineage: (round, top host, share of wave) — surfaces
     # hot-host pressure so budget caps / salting can be tuned (north rule)
     host_stats: list = field(default_factory=list)
+    # incremental-order bookkeeping: `order` holds rows with global indices
+    # [order_base, order_base+len(order)); segments on disk (order_dir) cover
+    # [0, order_rows_persisted). Default mode: order_base==0, order holds all.
+    order_base: int = 0
+    order_rows_persisted: int = 0
+    order_segments: int = 0
+    order_dir: str | None = None
 
-    def order_table(self) -> pa.Table:
+    def _tail_table(self) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "url": [o[0] for o in self.order],
+                "url": pa.array([o[0] for o in self.order], pa.string()),
                 "depth": pa.array([o[1] for o in self.order], pa.int32()),
-                "ok": [o[2] for o in self.order],
-                "fetch_order": pa.array(range(len(self.order)), pa.int64()),
+                "ok": pa.array([o[2] for o in self.order], pa.bool_()),
+                "fetch_order": pa.array(
+                    range(self.order_base, self.order_base + len(self.order)),
+                    pa.int64(),
+                ),
             }
         )
+
+    def order_table(self) -> pa.Table:
+        tail = self._tail_table()
+        if self.order_base == 0:
+            return tail
+        # streamed mode: prefix lives in on-disk segments
+        from .. import storage
+
+        segs = [
+            storage.read_table(
+                storage.table_uri(self.order_dir, f"seg-{i:05d}")
+            )
+            for i in range(self.order_segments)
+        ]
+        return pa.concat_tables(segs + [tail]) if segs else tail
 
 
 class _PoolExecutor:
@@ -239,6 +271,16 @@ def run_crawl(
     start_round = 0
     if resume and cfg.checkpoint_dir and os.path.exists(os.path.join(cfg.checkpoint_dir, "meta.json")):
         start_round = _restore(cfg, seen, frontier, out, counters_rows)
+        # rounds after the restored checkpoint will re-execute and rewrite
+        # their span dirs — but part names are per-actor-unique, so stale
+        # parts from the crashed attempt would SURVIVE alongside the re-run's
+        # and read back as duplicate rows. Drop those round dirs up front.
+        if cfg.spans_out_dir and os.path.isdir(cfg.spans_out_dir):
+            import shutil
+
+            for d_ in os.listdir(cfg.spans_out_dir):
+                if d_.startswith("round=") and int(d_.split("=")[1]) > start_round:
+                    shutil.rmtree(os.path.join(cfg.spans_out_dir, d_))
         from .. import storage as _st
 
         ck_seen = _st.read_table(_st.table_uri(cfg.checkpoint_dir, "seen"))
@@ -433,6 +475,9 @@ def run_crawl(
 
 
 def _checkpoint(cfg, seen, frontier, out, counters_rows, round_no) -> None:
+    """Checkpoint state. Order I/O is O(rows since last checkpoint): the
+    delta appends as a new segment under order/ instead of rewriting the
+    whole accumulated order table (round-1 O(pages^2/k) rewrite)."""
     from .. import storage
 
     d = cfg.checkpoint_dir
@@ -443,7 +488,31 @@ def _checkpoint(cfg, seen, frontier, out, counters_rows, round_no) -> None:
         pa.Table.from_pylist(counters_rows, schema=COUNTERS_SCHEMA),
         storage.table_uri(d, "counters"),
     )
-    storage.write_table(out.order_table(), storage.table_uri(d, "order"))
+    order_dir = os.path.join(d, "order")
+    out.order_dir = order_dir
+    delta_start = out.order_rows_persisted - out.order_base
+    delta = out.order[delta_start:]
+    if delta:
+        seg = pa.Table.from_pydict(
+            {
+                "url": [o[0] for o in delta],
+                "depth": pa.array([o[1] for o in delta], pa.int32()),
+                "ok": [o[2] for o in delta],
+                "fetch_order": pa.array(
+                    range(out.order_rows_persisted,
+                          out.order_rows_persisted + len(delta)),
+                    pa.int64(),
+                ),
+            }
+        )
+        storage.write_table(
+            seg, storage.table_uri(order_dir, f"seg-{out.order_segments:05d}")
+        )
+        out.order_segments += 1
+        out.order_rows_persisted += len(delta)
+    if cfg.stream_order:
+        out.order.clear()
+        out.order_base = out.order_rows_persisted
     meta = {
         "job_id": cfg.job_id,
         "round": round_no,
@@ -452,6 +521,8 @@ def _checkpoint(cfg, seen, frontier, out, counters_rows, round_no) -> None:
         "rounds": out.rounds,
         "total_bytes": out.total_bytes,
         "next_seq": frontier._next_seq,
+        "order_segments": out.order_segments,
+        "order_rows": out.order_rows_persisted,
     }
     tmp = os.path.join(d, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -469,14 +540,35 @@ def _restore(cfg, seen, frontier, out, counters_rows) -> int:
     frontier._next_seq = meta["next_seq"]
     seen.restore(storage.read_table(storage.table_uri(d, "seen")))
     counters_rows.extend(storage.read_table(storage.table_uri(d, "counters")).to_pylist())
-    order_t = storage.read_table(storage.table_uri(d, "order"))
-    out.order.extend(
-        zip(
-            order_t.column("url").to_pylist(),
-            order_t.column("depth").to_pylist(),
-            order_t.column("ok").to_pylist(),
-        )
-    )
+    out.order_dir = os.path.join(d, "order")
+    out.order_segments = meta["order_segments"]
+    out.order_rows_persisted = meta["order_rows"]
+    # a crash between a segment write and the meta.json rename leaves a
+    # stale segment past the recorded count — remove it so the re-run's
+    # segment numbering stays consistent
+    if os.path.isdir(out.order_dir):
+        for f_ in os.listdir(out.order_dir):
+            if f_.startswith("seg-"):
+                try:
+                    idx = int(f_.split("-")[1].split(".")[0])
+                except ValueError:
+                    continue
+                if idx >= out.order_segments:
+                    os.remove(os.path.join(out.order_dir, f_))
+    if cfg.stream_order:
+        out.order_base = out.order_rows_persisted  # order stays on disk
+    else:
+        for i in range(out.order_segments):
+            seg = storage.read_table(
+                storage.table_uri(out.order_dir, f"seg-{i:05d}")
+            )
+            out.order.extend(
+                zip(
+                    seg.column("url").to_pylist(),
+                    seg.column("depth").to_pylist(),
+                    seg.column("ok").to_pylist(),
+                )
+            )
     out.completed = meta["completed"]
     out.failed = meta["failed"]
     out.rounds = meta["rounds"]

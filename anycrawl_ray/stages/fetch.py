@@ -14,7 +14,8 @@ client pool, T1-T3), the compiled include/exclude matchers, the robots table
 per batch.
 
 Scale-critical split: workers write SPAN PAYLOADS directly to partitioned
-parquet (``spans_dir/round=R/part-C.parquet``) and return only small metadata
+parquet (``spans_dir/round=R/part-{actor_token}-{seq}.parquet``) and return
+only small metadata
 (url, ok, links + eligibility mask, bytes) to the driver. The driver's
 ordering loop never deserializes page content — at 100 TB the fat columns
 move storage->worker->storage only.
@@ -238,6 +239,13 @@ class _WorkerCore:
     """Shared per-actor state + batch logic for both executor flavors."""
 
     def __init__(self, corpus_ref, ctx: JobContext | None = None):
+        import uuid
+
+        # collision-free span part namespace: pid arithmetic can collide
+        # (recycled pids, counters overflowing a fixed radix) and silently
+        # overwrite another actor's part within a round — a random per-actor
+        # token cannot (round-1 ADVICE)
+        self._part_token = uuid.uuid4().hex[:12]
         # one OS thread per worker for Arrow kernels: N workers each spinning
         # a full-core Arrow pool thrashes the machine (nested parallelism)
         pa.set_cpu_count(1)
@@ -269,7 +277,8 @@ class _WorkerCore:
                 d = os.path.join(self.ctx.spans_dir, f"round={round_no:05d}")
                 os.makedirs(d, exist_ok=True)
                 pq.write_table(
-                    spans_table, os.path.join(d, f"part-{part_id:04d}.parquet")
+                    spans_table,
+                    os.path.join(d, f"part-{self._part_token}-{part_id:06d}.parquet"),
                 )
         return meta
 
@@ -277,15 +286,14 @@ class _WorkerCore:
 class FetchParseActor(_WorkerCore):
     """map_batches actor: returns metadata; spans go straight to parquet."""
 
-    _part_counter = 0
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._part_counter = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # map_batches path: parts keyed by (actor pid, running counter)
-        FetchParseActor._part_counter += 1
-        pid = os.getpid() % 10_000
-        return self.process(
-            batch, self.ctx.round_no, pid * 1000 + FetchParseActor._part_counter
-        )
+        # parts keyed by (per-actor uuid token, per-instance counter)
+        self._part_counter += 1
+        return self.process(batch, self.ctx.round_no, self._part_counter)
 
 
 @ray.remote
