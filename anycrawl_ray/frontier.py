@@ -163,8 +163,11 @@ class Frontier:
                     deferred.append(row)
             if not admitted_any and not self._head and not self._segments and not self._tail:
                 break  # nothing left to scan
-            if not admitted_any and len(deferred) >= batch_size * 4:
-                break  # deep deferral: stop scanning, wait for refill next round
+            # no deep-deferral early break: pop_wave / refmodel.form_wave scan
+            # the whole frontier for admissible hosts, and the exact
+            # politeness-mode equivalence depends on doing the same here
+            # (round-1 ADVICE: an early break forms a different wave whenever
+            # >4*batch_size capped rows precede an admissible host)
         if not wave and deferred:  # progress guarantee on full deferral
             wave.append(deferred.pop(0))
         self._head.extendleft(reversed(deferred))

@@ -42,12 +42,36 @@ def repair_scheme(url: str) -> str:
     return url
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 / WHATWG path normalization: resolve "." and ".."
+    segments of an ABSOLUTE path ('..' at the root is ignored; a trailing
+    dot segment leaves a trailing slash)."""
+    segments = path.split("/")
+    out: list[str] = []
+    last = len(segments) - 1
+    for i, seg in enumerate(segments):
+        if seg == ".":
+            if i == last:
+                out.append("")
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            if i == last:
+                out.append("")
+            continue
+        out.append(seg)
+    return "/".join(out) or "/"
+
+
 def canonicalize_url(href: str, base: str | None = None) -> str:
     """Resolve ``href`` against ``base`` and normalize like WHATWG URL.href.
 
     Normalizations applied (all of which ``new URL(...).href`` performs):
-    lowercase scheme+host, strip default port, empty path -> "/", keep query
-    and fragment verbatim. On unparsable input, returns the input unchanged
+    lowercase scheme+host, strip default port, empty path -> "/", dot-segment
+    removal (also for ALREADY-absolute hrefs, which urljoin alone does not
+    normalize — round-1 ADVICE), keep query and fragment verbatim. On
+    unparsable input, returns the input unchanged
     (reference HTMLTransformer.ts:527-531 returns the original URL on failure).
     """
     href = repair_scheme(href.strip())
@@ -67,6 +91,8 @@ def canonicalize_url(href: str, base: str | None = None) -> str:
         else:
             netloc = host
         path = parts.path or "/"
+        if "/." in path:
+            path = _remove_dot_segments(path)
         return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
     except ValueError:
         return href
@@ -160,7 +186,9 @@ def canonicalize_links(hrefs: list[str], base: str | None) -> list[str]:
         h = repair_scheme(href.strip())
         if h.startswith("http"):
             m = _ABS_RE.match(h)
-            if m and ".." not in m.group(4) and "/./" not in m.group(4):
+            # "/." catches every dot-segment shape ("/./", "/..", trailing
+            # "/.") — those fall back to the scalar path, which normalizes
+            if m and "/." not in (m.group(4) or ""):
                 scheme, host, port, path, query, frag = m.groups()
                 if port and port == _DEFAULT_PORTS.get(scheme):
                     port = None
@@ -170,7 +198,7 @@ def canonicalize_links(hrefs: list[str], base: str | None) -> list[str]:
                 )
                 continue
         elif b_origin and h.startswith("/") and not h.startswith("//"):
-            if ".." not in h and "/./" not in h:
+            if "/." not in h:
                 out.append(b_origin + h)
                 continue
         out.append(canonicalize_url(href, base))

@@ -115,3 +115,38 @@ def test_frontier_dump_restore():
     assert len(f2) == 15
     assert f2.pop_wave(1)[0][0] == "http://h.test/p/5"
     assert f2._next_seq == 20
+
+
+def test_pop_wave_admit_scans_past_deep_deferral():
+    """The admit path must scan the WHOLE frontier for admissible hosts,
+    exactly like pop_wave/per_host_cap — an early break after 4*batch_size
+    deferrals formed a different wave (round-1 ADVICE)."""
+    from anycrawl_ray.frontier import Frontier
+
+    def build():
+        f = Frontier("j")
+        f.push("http://a.test/0", 0, 0)
+        for i in range(1, 200):  # 199 capped-host rows before the admissible one
+            f.push(f"http://a.test/{i}", 0, 0)
+        f.push("http://b.test/0", 0, 0)
+        return f
+
+    f1 = build()
+    ref_wave = f1.pop_wave(16, per_host_cap=1)
+    assert [r[0] for r in ref_wave] == ["http://a.test/0", "http://b.test/0"]
+
+    counts: dict[str, int] = {}
+
+    def admit(hosts):
+        out = []
+        for h in hosts:
+            ok = counts.get(h, 0) < 1
+            if ok:
+                counts[h] = counts.get(h, 0) + 1
+            out.append(ok)
+        return out
+
+    f2 = build()
+    wave = f2.pop_wave_admit(16, admit)
+    assert [r[0] for r in wave] == [r[0] for r in ref_wave]
+    assert len(f2) == len(f1)  # deferred rows kept, order preserved

@@ -63,3 +63,32 @@ def test_matches_strategy():
     assert matches_strategy("http://h00.example.test:80/x", seed, "same-origin")
     assert not matches_strategy("https://h00.example.test/x", seed, "same-origin")
     assert not matches_strategy("not a url", seed, "all")  # parse failure -> False
+
+
+def test_dot_segment_normalization_absolute():
+    """WHATWG new URL(...).href resolves dot segments even for already-
+    absolute hrefs (urljoin alone does not — round-1 ADVICE)."""
+    assert canonicalize_url("http://h/a/../b") == "http://h/b"
+    assert canonicalize_url("http://h/a/./b") == "http://h/a/b"
+    assert canonicalize_url("http://h/a/.") == "http://h/a/"
+    assert canonicalize_url("http://h/a/..") == "http://h/"
+    assert canonicalize_url("http://h/..") == "http://h/"
+    assert canonicalize_url("http://h/./") == "http://h/"
+    assert canonicalize_url("http://h/a/../../b") == "http://h/b"
+    assert canonicalize_url("http://h/a/../b?q=1#f") == "http://h/b?q=1#f"
+    # dot-LIKE segments that are NOT dot segments stay verbatim
+    assert canonicalize_url("http://h/a..b/c") == "http://h/a..b/c"
+    assert canonicalize_url("http://h/.hidden") == "http://h/.hidden"
+
+
+def test_dot_segment_fast_path_agrees_with_scalar():
+    from anycrawl_ray.urlnorm import canonicalize_links
+
+    base = "http://h00.example.test/p/0000"
+    hrefs = [
+        "http://h/a/../b", "http://h/a/.", "http://h/a/./b", "/x/../y",
+        "/x/.", "http://h/.hidden", "/ok/path", "http://h/a..b",
+    ]
+    batch = canonicalize_links(hrefs, base)
+    scalar = [canonicalize_url(h, base) for h in hrefs]
+    assert batch == scalar
