@@ -69,6 +69,13 @@ class CrawlRunConfig:
     # order is a table, not a driver list; the default False preserves the
     # in-memory list for small conformance jobs.
     stream_order: bool = False
+    # speculative_seen (pool executor only): dispatch the wave to workers
+    # concurrently with the sharded seen-set check; workers resolve the mask
+    # ObjectRef and drop already-seen rows BEFORE any fetch work or span
+    # write. Results are identical to the synchronous path (same mask, same
+    # discovery_seq order) — the seen round trip just overlaps dispatch
+    # instead of sitting on the driver's critical path.
+    speculative_seen: bool = True
 
 
 @dataclass
@@ -165,24 +172,36 @@ class _PoolExecutor:
             ] or [0]
         return [self.workers[i] for i in self._ready]
 
-    def fetch(self, table: pa.Table, round_no: int) -> pa.Table:
+    def dispatch(self, table: pa.Table, round_no: int, mask_ref=None) -> list:
+        """Fan the wave out to the pool; returns result refs. ``mask_ref``
+        (ObjectRef[bool mask] from SeenSet.check_and_add_async) is passed as
+        a task arg, so Ray resolves it worker-side — the seen round trip
+        overlaps dispatch instead of blocking the driver."""
         n = table.num_rows
         if n == 0:
-            return pa.Table.from_pylist([], FETCH_META_SCHEMA)
+            return []
         workers = self._ready_workers()
         # two chunks queued per worker: the second pipelines behind the first
         # inside each actor, halving the straggler tail without a per-chunk
         # driver dispatch loop (one barrier per wave)
         k = min(2 * len(workers), max(1, (n + self.MIN_CHUNK - 1) // self.MIN_CHUNK))
         bounds = np.linspace(0, n, k + 1).astype(int)
-        refs = [
+        return [
             workers[i % len(workers)].fetch.remote(
-                table.slice(bounds[i], bounds[i + 1] - bounds[i]), round_no, i
+                table.slice(bounds[i], bounds[i + 1] - bounds[i]), round_no, i,
+                mask_ref,
             )
             for i in range(k)
             if bounds[i + 1] > bounds[i]
         ]
+
+    def collect(self, refs: list) -> pa.Table:
+        if not refs:
+            return pa.Table.from_pylist([], FETCH_META_SCHEMA)
         return pa.concat_tables(ray.get(refs)).sort_by("discovery_seq")
+
+    def fetch(self, table: pa.Table, round_no: int) -> pa.Table:
+        return self.collect(self.dispatch(table, round_no))
 
     def shutdown(self) -> None:
         for w in self.workers:
@@ -226,14 +245,44 @@ class _DatasetExecutor:
         pass
 
 
+def make_job_context(seed_url: str, opts: CrawlOptions, cfg: CrawlRunConfig) -> JobContext:
+    """The per-job constants broadcast to fetch workers (shared by run_crawl
+    and callers that pre-build a worker pool via build_fetch_pool)."""
+    return JobContext(
+        seed=canonicalize_url(seed_url),
+        strategy=opts.strategy,
+        include_paths=tuple(opts.include_paths),
+        exclude_paths=tuple(opts.exclude_paths),
+        robots=opts.robots,
+        spans_dir=cfg.spans_out_dir,
+        render_iters=cfg.render_iters,
+        scrape_paths=tuple(opts.scrape_paths),
+    )
+
+
+def build_fetch_pool(corpus_ref, n_workers: int, ctx: JobContext) -> _PoolExecutor:
+    """Persistent fetch-worker pool reusable across run_crawl jobs with the
+    SAME JobContext — mirrors the reference's long-lived crawler processes
+    (BullMQ workers / browser pools persist across jobs; retirement at 500
+    pages, .env browser settings). Saves the per-job worker cold start
+    (imports + corpus index build, ~1.5 s) that would otherwise sit on every
+    job's critical path."""
+    return _PoolExecutor(corpus_ref, n_workers, ctx)
+
+
 def run_crawl(
     seed_url: str,
     opts: CrawlOptions,
     corpus: pa.Table | ray.ObjectRef,
     cfg: CrawlRunConfig = CrawlRunConfig(),
     resume: bool = False,
+    executor=None,
 ) -> CrawlOutput:
-    """Execute one crawl job (reference: one ``runAutoCrawl`` invocation)."""
+    """Execute one crawl job (reference: one ``runAutoCrawl`` invocation).
+
+    ``executor``: optionally a pre-built pool from :func:`build_fetch_pool`
+    (must match this job's JobContext); it is NOT shut down on return.
+    """
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
 
     seen = SeenSet(cfg.n_seen_shards)
@@ -244,17 +293,8 @@ def run_crawl(
     )
     out = CrawlOutput(spans_dir=cfg.spans_out_dir)
     counters_rows: list[dict] = []
-    seed = canonicalize_url(seed_url)
-    ctx = JobContext(
-        seed=seed,
-        strategy=opts.strategy,
-        include_paths=tuple(opts.include_paths),
-        exclude_paths=tuple(opts.exclude_paths),
-        robots=opts.robots,
-        spans_dir=cfg.spans_out_dir,
-        render_iters=cfg.render_iters,
-        scrape_paths=tuple(opts.scrape_paths),
-    )
+    ctx = make_job_context(seed_url, opts, cfg)
+    seed = ctx.seed
 
     politeness_set = None
     if cfg.politeness == "actors" and opts.per_host_cap > 0:
@@ -266,7 +306,14 @@ def run_crawl(
             burst=float(opts.per_host_cap),
         )
 
+    import polars as pl
+
+    # driver-side visited mirror: a Python set for the per-link slow path
+    # plus a polars string Series for VECTORIZED membership probes
+    # (pl.Series.is_in — exact string equality in one Rust pass instead of
+    # ~1M per-link Python set probes per bench crawl)
     visited_mirror: set[str] = set()
+    mirror_series = pl.Series("u", [], dtype=pl.Utf8)
     mirror_complete = True
     start_round = 0
     if resume and cfg.checkpoint_dir and os.path.exists(os.path.join(cfg.checkpoint_dir, "meta.json")):
@@ -285,22 +332,26 @@ def run_crawl(
 
         ck_seen = _st.read_table(_st.table_uri(cfg.checkpoint_dir, "seen"))
         if ck_seen.num_rows <= cfg.visited_mirror_cap:
-            visited_mirror.update(ck_seen.column("url").to_pylist())
+            restored_urls = ck_seen.column("url").to_pylist()
+            visited_mirror.update(restored_urls)
+            mirror_series.extend(pl.Series("u", restored_urls, dtype=pl.Utf8))
         else:
             mirror_complete = False
     else:
         frontier.push(seed, 0, 0)
 
-    use_pool = cfg.executor == "pool" or (cfg.executor == "auto" and opts.wave_size <= 64)
-    # never create more workers than the wave can feed (idle actors still pay
-    # cold-start imports that contend with the crawl on small machines)
-    usable = max(1, (opts.wave_size + _PoolExecutor.MIN_CHUNK - 1) // _PoolExecutor.MIN_CHUNK)
-    n_workers = min(cfg.n_fetch_workers, usable)
-    executor = (
-        _PoolExecutor(corpus_ref, n_workers, ctx)
-        if use_pool
-        else _DatasetExecutor(corpus_ref, n_workers, cfg.dataset_batch_size, ctx)
-    )
+    owns_executor = executor is None
+    if owns_executor:
+        use_pool = cfg.executor == "pool" or (cfg.executor == "auto" and opts.wave_size <= 64)
+        # never create more workers than the wave can feed (idle actors still
+        # pay cold-start imports that contend with the crawl on small machines)
+        usable = max(1, (opts.wave_size + _PoolExecutor.MIN_CHUNK - 1) // _PoolExecutor.MIN_CHUNK)
+        n_workers = min(cfg.n_fetch_workers, usable)
+        executor = (
+            _PoolExecutor(corpus_ref, n_workers, ctx)
+            if use_pool
+            else _DatasetExecutor(corpus_ref, n_workers, cfg.dataset_batch_size, ctx)
+        )
 
     import time as _time
 
@@ -309,9 +360,12 @@ def run_crawl(
         return _time.perf_counter()
 
     try:
+        _t0 = _time.perf_counter()
         round_no = start_round
         while len(frontier) > 0 and out.completed + out.failed < opts.limit:
             _t = _time.perf_counter()
+            if "first_round_lat" not in out.timings:
+                out.timings["first_round_lat"] = _t - _t0
             batch_size = min(opts.wave_size, opts.limit - out.completed - out.failed)
             if politeness_set is not None:
                 rnd = round_no  # one bucket period per round (deterministic)
@@ -328,28 +382,57 @@ def run_crawl(
             _t = _tick("wave_form", _t)
             # pop-time visited check+add, wave order (coordinator :42-44)
             wave_urls = [w[0] for w in wave]
-            newly = seen.check_and_add(wave_urls)
             out.frontier_ops += 2 * len(wave)  # pops + check_and_add
-            if mirror_complete:
-                visited_mirror.update(
-                    u for u, is_new in zip(wave_urls, newly) if is_new
-                )
+
+            def _mirror_update(newly_mask) -> None:
+                nonlocal mirror_complete
+                if not mirror_complete:
+                    return
+                new_urls = [
+                    u for u, is_new in zip(wave_urls, newly_mask) if is_new
+                ]
+                visited_mirror.update(new_urls)
                 if len(visited_mirror) > cfg.visited_mirror_cap:
                     mirror_complete = False  # overflow: shards take over contains()
                     visited_mirror.clear()
+                elif new_urls:
+                    mirror_series.extend(pl.Series("u", new_urls, dtype=pl.Utf8))
 
-            fetch_idx = np.flatnonzero(newly)
-            wave_table = pa.Table.from_pydict(
-                {
-                    "url": [wave_urls[i] for i in fetch_idx],
-                    "depth": pa.array([wave[i][1] for i in fetch_idx], pa.int32()),
-                    # discovery_seq doubles as within-wave position key
-                    "discovery_seq": pa.array([int(i) for i in fetch_idx], pa.int64()),
-                }
-            )
-            _t = _tick("seen_add", _t)
-            results = executor.fetch(wave_table, round_no)  # sorted by wave pos
-            _t = _tick("fetch", _t)
+            speculative = cfg.speculative_seen and isinstance(executor, _PoolExecutor)
+            if speculative:
+                # dispatch the FULL wave with the pending mask ref; workers
+                # filter (identical results, seen RTT off the critical path)
+                mask_ref = seen.check_and_add_async(wave_urls)
+                wave_table = pa.Table.from_pydict(
+                    {
+                        "url": wave_urls,
+                        "depth": pa.array([w[1] for w in wave], pa.int32()),
+                        # discovery_seq doubles as within-wave position key
+                        "discovery_seq": pa.array(
+                            np.arange(len(wave), dtype=np.int64), pa.int64()
+                        ),
+                    }
+                )
+                _t = _tick("seen_add", _t)
+                refs = executor.dispatch(wave_table, round_no, mask_ref)
+                newly = ray.get(mask_ref)
+                _mirror_update(newly)
+                results = executor.collect(refs)  # sorted by wave pos
+                _t = _tick("fetch", _t)
+            else:
+                newly = seen.check_and_add(wave_urls)
+                _mirror_update(newly)
+                fetch_idx = np.flatnonzero(newly)
+                wave_table = pa.Table.from_pydict(
+                    {
+                        "url": [wave_urls[i] for i in fetch_idx],
+                        "depth": pa.array([wave[i][1] for i in fetch_idx], pa.int32()),
+                        "discovery_seq": pa.array([int(i) for i in fetch_idx], pa.int64()),
+                    }
+                )
+                _t = _tick("seen_add", _t)
+                results = executor.fetch(wave_table, round_no)  # sorted by wave pos
+                _t = _tick("fetch", _t)
 
             # counters + crawl order, wave order (coordinator :81-85)
             nrows = results.num_rows
@@ -392,58 +475,39 @@ def run_crawl(
             _t = _tick("meta_cols", _t)
             out.frontier_ops += n_links_total  # membership probes
             enq_delta = 0
-            # fast path: when even pushing EVERY candidate cannot reach the
-            # limit, the per-link budget check is vacuous — one vectorized
-            # filter + bulk append (order preserved: wave, then document)
-            budget_safe = (
-                out.completed + out.failed + len(frontier) + n_links_total
-                < opts.limit
-            )
-            if nrows and budget_safe:
+            # single vectorized link-push path (order preserved: wave, then
+            # document). The coordinator's growing-pending budget check
+            # (:108-112 — len(pending) grows as pushed, completed/failed
+            # fixed within the wave) is exactly "accept the first K eligible
+            # non-visited links in order" with K = limit - done - pending:
+            # once the running count reaches the limit no later push in the
+            # wave can succeed, so first-K is byte-equivalent to the loop.
+            if nrows:
+                budget = opts.limit - out.completed - out.failed - len(frontier)
                 row_live = ok_np & (depth_np < opts.max_depth)
                 keep = flat_elig & row_live[row_of]
-                cand = flat_links.filter(pa.array(keep)).to_pylist()
+                cand_arr = flat_links.filter(pa.array(keep))  # stays Arrow
                 cand_rows = row_of[keep]
-                if mirror_complete:
-                    not_vis = np.fromiter(
-                        (l not in visited_mirror for l in cand), bool, len(cand)
-                    )
+                if len(cand_arr) == 0:
+                    not_vis = np.zeros(0, dtype=bool)
+                elif mirror_complete:
+                    # zero-copy Arrow -> polars; exact vectorized membership —
+                    # Python strings materialize only for ACCEPTED links below
+                    not_vis = (
+                        ~pl.from_arrow(cand_arr).is_in(mirror_series.implode())
+                    ).to_numpy()
                 else:
+                    cand = cand_arr.to_pylist()
                     uniq = list(dict.fromkeys(cand))
                     vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
                     vset = {u for u, v in zip(uniq, vis) if v}
                     not_vis = np.fromiter((l not in vset for l in cand), bool, len(cand))
                 _t = _tick("visited_probe", _t)
-                accepted = [l for l, v in zip(cand, not_vis) if v]
-                frontier.push_rows(accepted, depth_np[cand_rows[not_vis]] + 1)
+                sel = np.flatnonzero(not_vis)[: max(0, budget)]
+                accepted = cand_arr.take(pa.array(sel)).to_pylist()
+                frontier.push_rows(accepted, depth_np[cand_rows[sel]] + 1)
                 enq_delta = len(accepted)
                 out.frontier_ops += enq_delta
-            elif nrows:
-                links_col = links_arr.to_pylist()
-                elig_col = results.column("links_elig").to_pylist()
-                if mirror_complete:
-                    visited_map = visited_mirror
-                else:
-                    all_links = [l for links in links_col for l in links]
-                    uniq = list(dict.fromkeys(all_links))
-                    vis_mask = seen.contains(uniq) if uniq else np.zeros(0, bool)
-                    visited_map = {u for u, v in zip(uniq, vis_mask) if v}
-                _t = _tick("visited_probe", _t)
-                for j in range(nrows):
-                    if not ok_np[j]:
-                        continue
-                    depth = int(depth_np[j])
-                    if depth >= opts.max_depth:
-                        continue
-                    for l, e_ok in zip(links_col[j], elig_col[j]):
-                        # coordinator :108-112 — len(pending) grows as pushed
-                        if l in visited_map or out.completed + out.failed + len(frontier) >= opts.limit:
-                            continue
-                        if not e_ok:
-                            continue
-                        frontier.push(l, depth + 1, 0)
-                        enq_delta += 1
-                        out.frontier_ops += 1  # push
 
             _t = _tick("link_push", _t)
             counters_rows.append(
@@ -462,15 +526,169 @@ def run_crawl(
             if cfg.stop_after_rounds and out.rounds >= cfg.stop_after_rounds:
                 break  # simulated crash; final checkpoint below enables resume
 
+        _tf = _time.perf_counter()
         out.visited_count = seen.total()
         out.counters = pa.Table.from_pylist(counters_rows, schema=COUNTERS_SCHEMA)
         if cfg.checkpoint_dir:
             _checkpoint(cfg, seen, frontier, out, counters_rows, round_no)
+        out.timings["finalize"] = _time.perf_counter() - _tf
         return out
     finally:
-        executor.shutdown()
+        if owns_executor:
+            executor.shutdown()
         if politeness_set is not None:
             politeness_set.shutdown()
+        seen.shutdown()
+
+
+def run_crawl_relaxed(
+    seed_url: str,
+    opts: CrawlOptions,
+    corpus: pa.Table | ray.ObjectRef,
+    cfg: CrawlRunConfig = CrawlRunConfig(),
+    executor: _PoolExecutor | None = None,
+) -> CrawlOutput:
+    """Pipelined crawl — ``ordering="relaxed"``: NO wave barrier.
+
+    Chunks are dispatched continuously (a sliding window of ~2 chunks per
+    worker keeps every actor busy; ray.wait processes whichever chunk
+    finishes first), so throughput approaches the workers' aggregate rate
+    instead of paying a straggler barrier per wave. Fetched-page SET, seen
+    semantics (check_and_add at dispatch), limit and depth guards are
+    IDENTICAL to the conformance mode (tested); the crawl ORDER is
+    completion order, which intentionally diverges from the reference's
+    wave order — use the default run_crawl when order conformance matters.
+    per-host politeness is not supported in this mode.
+    """
+    if opts.per_host_cap > 0 or cfg.politeness != "driver":
+        raise ValueError("relaxed mode does not support per-host politeness")
+    corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
+    seen = SeenSet(cfg.n_seen_shards)
+    frontier = Frontier(cfg.job_id)
+    out = CrawlOutput(spans_dir=cfg.spans_out_dir)
+    counters_rows: list[dict] = []
+    ctx = make_job_context(seed_url, opts, cfg)
+
+    owns_executor = executor is None
+    if owns_executor:
+        executor = _PoolExecutor(corpus_ref, cfg.n_fetch_workers, ctx)
+
+    import polars as pl
+
+    visited_mirror: set[str] = set()
+    mirror_series = pl.Series("u", [], dtype=pl.Utf8)
+    mirror_complete = True
+    chunk_size = max(_PoolExecutor.MIN_CHUNK, cfg.dataset_batch_size)
+    frontier.push(ctx.seed, 0, 0)
+    dispatched = 0
+    next_worker = 0
+    in_flight: dict = {}  # ref -> nrows
+
+    def _dispatch_one() -> bool:
+        nonlocal dispatched, next_worker, mirror_complete
+        rows = frontier.pop_wave(min(chunk_size, opts.limit - dispatched))
+        if not rows:
+            return False
+        urls = [r[0] for r in rows]
+        newly = seen.check_and_add(urls)
+        out.frontier_ops += 2 * len(rows)
+        if mirror_complete:
+            new_urls = [u for u, n in zip(urls, newly) if n]
+            visited_mirror.update(new_urls)
+            if len(visited_mirror) > cfg.visited_mirror_cap:
+                mirror_complete = False
+                visited_mirror.clear()
+            elif new_urls:
+                mirror_series.extend(pl.Series("u", new_urls, dtype=pl.Utf8))
+        idx = np.flatnonzero(newly)
+        if len(idx) == 0:
+            return True  # all lazy dups; nothing to fetch, keep pumping
+        table = pa.Table.from_pydict(
+            {
+                "url": [urls[i] for i in idx],
+                "depth": pa.array([rows[i][1] for i in idx], pa.int32()),
+                "discovery_seq": pa.array(
+                    np.arange(len(idx), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+        workers = executor._ready_workers()
+        w = workers[next_worker % len(workers)]
+        next_worker += 1
+        ref = w.fetch.remote(table, out.rounds, dispatched)
+        in_flight[ref] = table.num_rows
+        dispatched += table.num_rows
+        return True
+
+    def _process(results: pa.Table) -> None:
+        nonlocal mirror_complete
+        nrows = results.num_rows
+        if nrows == 0:
+            return
+        out.rounds += 1  # one "round" per completed chunk in relaxed mode
+        ok_np = results.column("ok").to_numpy(zero_copy_only=False)
+        depth_np = results.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
+        out.order.extend(
+            zip(results.column("url").to_pylist(), depth_np.tolist(), ok_np.tolist())
+        )
+        n_ok = int(ok_np.sum())
+        out.completed += n_ok
+        out.failed += nrows - n_ok
+        out.total_bytes += int(results.column("bytes").to_numpy().sum())
+        counters_rows.append(
+            {"job_id": cfg.job_id, "round": out.rounds, "partition_id": 0,
+             "enqueued": 0, "done": nrows, "succeeded": n_ok, "failed": nrows - n_ok}
+        )
+        links_arr = results.column("links").combine_chunks()
+        lens = pc.list_value_length(links_arr).to_numpy(zero_copy_only=False)
+        flat_links = pc.list_flatten(links_arr)
+        flat_elig = pc.list_flatten(
+            results.column("links_elig").combine_chunks()
+        ).to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(nrows), lens)
+        out.frontier_ops += len(flat_links)
+        row_live = ok_np & (depth_np < opts.max_depth)
+        keep = flat_elig & row_live[row_of]
+        cand_arr = flat_links.filter(pa.array(keep))
+        cand_rows = row_of[keep]
+        if len(cand_arr) == 0:
+            return
+        if mirror_complete:
+            not_vis = (~pl.from_arrow(cand_arr).is_in(mirror_series.implode())).to_numpy()
+        else:
+            cand = cand_arr.to_pylist()
+            uniq = list(dict.fromkeys(cand))
+            vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
+            vset = {u for u, v in zip(uniq, vis) if v}
+            not_vis = np.fromiter((l not in vset for l in cand), bool, len(cand))
+        sel = np.flatnonzero(not_vis)
+        accepted = cand_arr.take(pa.array(sel)).to_pylist()
+        frontier.push_rows(accepted, depth_np[cand_rows[sel]] + 1)
+        out.frontier_ops += len(accepted)
+
+    try:
+        window = 2 * len(executor.workers)
+        while True:
+            while (
+                len(in_flight) < window and len(frontier) > 0
+                and dispatched < opts.limit
+            ):
+                if not _dispatch_one():
+                    break
+            if not in_flight:
+                if len(frontier) == 0 or dispatched >= opts.limit:
+                    break
+                continue
+            done, _ = ray.wait(list(in_flight), num_returns=1)
+            for ref in done:
+                in_flight.pop(ref)
+                _process(ray.get(ref))
+        out.visited_count = seen.total()
+        out.counters = pa.Table.from_pylist(counters_rows, schema=COUNTERS_SCHEMA)
+        return out
+    finally:
+        if owns_executor:
+            executor.shutdown()
         seen.shutdown()
 
 

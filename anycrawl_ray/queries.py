@@ -708,6 +708,49 @@ def q_serp_parse(sf_dir: str):
     )
 
 
+def q_webhook_events(sf_dir: str):
+    """S11 webhook sink: one synthetic crawl job per document (failing every
+    10th), fanned through the typed event catalog + subscription matching +
+    retry/backoff accounting (functions/webhook.py — reference Webhook.ts
+    semantics), with a DETERMINISTIC delivery outcome the SQL oracle mirrors:
+    attempt a succeeds iff (doc_id + len(event_type)) % 7 == a - 1, so
+    attempts/status/backoff are closed-form per row."""
+    from .functions import webhook as wh
+
+    sub = wh.WebhookSubscription(
+        "sub-1", "http://sink.example.test/hook",
+        ("crawl.created", "crawl.started", "crawl.completed", "crawl.failed"),
+    )
+
+    def outcome(s, etype, sid, a):
+        d = int(sid.split("-", 1)[1])
+        return (d + len(etype)) % 7 == a - 1
+
+    def f(t: pa.Table) -> pa.Table:
+        events = []
+        for d in t.column("doc_id").to_pylist():
+            events.extend(wh.job_events("crawl", f"job-{d}", ok=(d % 10 != 0)))
+        dt = wh.deliver_events(events, [sub], outcome)
+        part = dt.group_by(["event_type", "status"]).aggregate(
+            [("attempts", "sum"), ("backoff_ms", "sum"), ("status", "count")]
+        )
+        return part.rename_columns(
+            ["event_type", "status", "attempts_part", "backoff_part", "n_part"]
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        f, batch_format="pyarrow", batch_size=2048
+    )
+    t = _collect(
+        ds.groupby(["event_type", "status"]).aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("attempts_part", alias_name="attempts_sum"),
+            Sum("backoff_part", alias_name="backoff_ms_sum"),
+        )
+    )
+    return t.sort_by([("event_type", "ascending"), ("status", "ascending")])
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (stateful per-key windowing): events of a
     user belong to one session while gaps stay under 30 minutes. Ray:
@@ -813,6 +856,7 @@ def build_queries() -> dict[str, Callable]:
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "daily_active_users": q_daily_active_users,
+        "webhook_events": q_webhook_events,
         # rows-only (non-SQL-expressible)
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
@@ -1009,6 +1053,35 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    COUNT(DISTINCT user_id) AS active_users
             FROM events GROUP BY 1 ORDER BY day
+        """,
+        # mirrors functions/webhook.py accounting: success on attempt a iff
+        # (doc_id + len(event_type)) % 7 == a-1; delivered backoff =
+        # sum_{k<attempts} 2^k*60000 = (2^attempts - 2)*60000 (same value for
+        # failed-at-3: failed attempts 1,2 scheduled backoffs 2^1,2^2)
+        "webhook_events": """
+            WITH jobs AS (SELECT doc_id, (doc_id % 10 != 0) AS ok FROM documents),
+            ev AS (
+                SELECT doc_id, 'crawl.created' AS event_type FROM jobs
+                UNION ALL SELECT doc_id, 'crawl.started' FROM jobs
+                UNION ALL SELECT doc_id,
+                    CASE WHEN ok THEN 'crawl.completed' ELSE 'crawl.failed' END
+                FROM jobs
+            ),
+            acc AS (
+                SELECT event_type,
+                       CASE WHEN (doc_id + length(event_type)) % 7 <= 2
+                            THEN 'delivered' ELSE 'failed' END AS status,
+                       CASE WHEN (doc_id + length(event_type)) % 7 <= 2
+                            THEN (doc_id + length(event_type)) % 7 + 1
+                            ELSE 3 END AS attempts
+                FROM ev
+            )
+            SELECT event_type, status, COUNT(*) AS n,
+                   CAST(SUM(attempts) AS BIGINT) AS attempts_sum,
+                   CAST(SUM((POWER(2, attempts) - 2) * 60000) AS BIGINT)
+                       AS backoff_ms_sum
+            FROM acc GROUP BY event_type, status
+            ORDER BY event_type, status
         """,
         # CAST(... AS DOUBLE[]) everywhere: DuckDB's list_cosine_similarity on a
         # FLOAT[] column computes in float32, while the Ray side is float64 —

@@ -265,7 +265,23 @@ class _WorkerCore:
         )
         self._scrape_matcher = PathMatcher(list(self.ctx.scrape_paths), [])
 
-    def process(self, batch: pa.Table, round_no: int = 0, part_id: int = 0) -> pa.Table:
+    def process(
+        self, batch: pa.Table, round_no: int = 0, part_id: int = 0,
+        newly_mask: np.ndarray | None = None,
+    ) -> pa.Table:
+        # speculative-dispatch support: the driver sends the wave BEFORE the
+        # seen-set round trip resolves and passes the mask (indexed by wave
+        # position == discovery_seq) as an ObjectRef that Ray resolves right
+        # here — the seen RTT overlaps task dispatch instead of blocking the
+        # driver. Rows that turn out already-seen are dropped BEFORE any
+        # fetch work or span write (no duplicate spans, no wasted render).
+        if newly_mask is not None:
+            seqs = batch.column("discovery_seq").to_numpy()
+            keep = newly_mask[seqs]
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist([], FETCH_META_SCHEMA)
         meta, spans_table = fetch_parse_batch(batch, self.idx, self.ctx, self.matcher)
         if self.ctx.spans_dir and spans_table.num_rows:
             if self.ctx.scrape_paths:  # M12 content gate
@@ -308,8 +324,11 @@ class FetchWorker(_WorkerCore):
     Arrow chunks directly; identical batch code, identical results.
     """
 
-    def fetch(self, batch: pa.Table, round_no: int = 0, part_id: int = 0) -> pa.Table:
-        return self.process(batch, round_no, part_id)
+    def fetch(
+        self, batch: pa.Table, round_no: int = 0, part_id: int = 0,
+        newly_mask: np.ndarray | None = None,
+    ) -> pa.Table:
+        return self.process(batch, round_no, part_id, newly_mask)
 
     def ping(self, touch: bool = False) -> bool:
         if touch:

@@ -130,6 +130,15 @@ class SeenShardCore:
 SeenShard = ray.remote(SeenShardCore)
 
 
+@ray.remote(num_cpus=0)
+def _merge_shard_masks(n: int, idxs: list, *masks) -> np.ndarray:
+    """Reassemble per-shard check_and_add masks into wave order."""
+    out = np.zeros(n, dtype=bool)
+    for g, mask in zip(idxs, masks):
+        out[g] = mask
+    return out
+
+
 class SeenSet:
     """Client facade: routes batches to shard actors, reassembles masks.
 
@@ -172,6 +181,25 @@ class SeenSet:
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         return self._call("check_and_add", urls)
+
+    def check_and_add_async(self, urls: list[str]) -> ray.ObjectRef:
+        """Non-blocking check_and_add: returns an ObjectRef of the full wave
+        mask, assembled by a tiny remote task from the shard responses. The
+        driver can dispatch fetch work carrying this ref and let WORKERS wait
+        on it (the seen round-trip overlaps task dispatch instead of sitting
+        on the driver's critical path)."""
+        if not urls:
+            return ray.put(np.zeros(0, dtype=bool))
+        hashes, _, groups = self._route(urls)
+        refs, idxs = [], []
+        for s, g in enumerate(groups):
+            if not g:
+                continue
+            refs.append(
+                self.shards[s].check_and_add.remote([urls[i] for i in g], hashes[g])
+            )
+            idxs.append(np.asarray(g, dtype=np.int64))
+        return _merge_shard_masks.remote(len(urls), idxs, *refs)
 
     def contains(self, urls: list[str]) -> np.ndarray:
         return self._call("contains", urls)

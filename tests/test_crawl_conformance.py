@@ -227,3 +227,36 @@ def test_stream_order_resume_order_on_disk(ray_session, small_corpus, tmp_path):
     assert got.to_pydict() == full_t.to_pydict()
     # the resumed driver never materialized the pre-crash rows in memory
     assert resumed.order_base > 0
+
+
+def test_relaxed_mode_same_page_set(ray_session, small_corpus):
+    """ordering="relaxed" (pipelined, no wave barrier): the fetched page SET,
+    visited set size, completed/failed counters and limit semantics match the
+    reference exactly; only the ORDER diverges (documented)."""
+    from anycrawl_ray.pipelines.crawl import run_crawl_relaxed
+
+    idx = CorpusIndex(small_corpus)
+    # exhaustive crawl (limit >= reachable component): the SET must be equal
+    opts = CrawlOptions(limit=100000, strategy="all")
+    golden = run_reference_crawl(SEED, opts, SyntheticFetcher(idx))
+    out = run_crawl_relaxed(SEED, opts, small_corpus,
+                            CrawlRunConfig(n_fetch_workers=2, n_seen_shards=2))
+    assert out.completed + out.failed == len(golden.order)
+    assert {(u, ok) for u, _, ok in out.order} == {(u, ok) for u, _, ok in golden.order}
+    assert out.completed == golden.completed and out.failed == golden.failed
+    assert out.visited_count == len(golden.visited)
+
+    # limited crawl: exact limit, no duplicate fetches, pages within the
+    # reachable set (WHICH pages differs from wave order — documented)
+    lim = CrawlOptions(limit=30, strategy="all")
+    out2 = run_crawl_relaxed(SEED, lim, small_corpus,
+                             CrawlRunConfig(n_fetch_workers=2, n_seen_shards=2))
+    urls2 = [u for u, _, _ in out2.order]
+    assert out2.completed + out2.failed == 30
+    assert len(urls2) == len(set(urls2))
+    assert set(urls2) <= {u for u, _, _ in golden.order}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_crawl_relaxed(SEED, CrawlOptions(limit=5, per_host_cap=2), small_corpus)
