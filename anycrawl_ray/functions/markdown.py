@@ -172,10 +172,46 @@ class _Converter:
             return self._emit("\n")
         if tag == "hr":
             return self._emit("\n\n---\n\n")
+        if tag in ("del", "s", "strike"):
+            t = inner.strip()
+            # GFM single-tilde strikethrough (reference golden: /~deleted~/)
+            return self._emit_replacing(inner, f"~{t}~" if t else "")
+        if tag == "input":
+            # GFM task-list checkboxes (reference golden matrix)
+            if node.attrs.get("type", "").lower() == "checkbox":
+                return self._emit("[x] " if "checked" in node.attrs else "[ ] ")
+            return ""
         if tag == "li":
             return self._emit_replacing(inner, f"\n- {inner.strip()}")
-        if tag in ("ul", "ol"):
+        if tag == "ol":
+            # renumber the DIRECT items ("\n- " markers at this level);
+            # nested lists were already wrapped in blank lines by their own
+            # ul/ol pass, so direct markers are the ones after "\n- "
+            items = ("\n" + inner.strip()).split("\n- ")
+            items = [s for s in items if s != ""]
+            numbered = "\n".join(f"{i + 1}. {s.strip()}" for i, s in enumerate(items))
+            return self._emit_replacing(inner, f"\n\n{numbered}\n\n")
+        if tag == "ul":
             return self._emit_replacing(inner, f"\n\n{inner.strip()}\n\n")
+        if tag == "table":
+            rows = node.find_all(lambda n: n.tag == "tr")
+            lines = []
+            # cells re-convert with a throwaway converter so the span buffer
+            # keeps exactly ONE copy of the table text (inner), which
+            # _emit_replacing then swaps for the pipe-table markdown
+            sub = _Converter(collect_spans=False)
+            for r_i, tr in enumerate(rows):
+                cells = [
+                    re.sub(r"\s+", " ", sub.convert(c, anc + [c.tag])).strip()
+                    for c in tr.children
+                    if c.tag in ("th", "td")
+                ]
+                if not cells:
+                    continue
+                lines.append("| " + " | ".join(cells) + " |")
+                if r_i == 0:  # GFM header separator after the first row
+                    lines.append("|" + " --- |" * len(cells))
+            return self._emit_replacing(inner, "\n\n" + "\n".join(lines) + "\n\n")
         if tag == "blockquote":
             lines = inner.strip().split("\n")
             quoted = "\n".join("> " + l for l in lines)

@@ -76,6 +76,11 @@ class CrawlRunConfig:
     # discovery_seq order) — the seen round trip just overlaps dispatch
     # instead of sitting on the driver's critical path.
     speculative_seen: bool = True
+    # §2.10: names of steps registered in steps.default_registry, applied to
+    # every span batch before the parquet sink (hooks prepended/appended per
+    # registry order); resolved to PipelineStep objects at job start and
+    # broadcast to workers inside JobContext
+    span_steps: tuple = ()
 
 
 @dataclass
@@ -248,6 +253,8 @@ class _DatasetExecutor:
 def make_job_context(seed_url: str, opts: CrawlOptions, cfg: CrawlRunConfig) -> JobContext:
     """The per-job constants broadcast to fetch workers (shared by run_crawl
     and callers that pre-build a worker pool via build_fetch_pool)."""
+    from ..steps import default_registry
+
     return JobContext(
         seed=canonicalize_url(seed_url),
         strategy=opts.strategy,
@@ -257,6 +264,9 @@ def make_job_context(seed_url: str, opts: CrawlOptions, cfg: CrawlRunConfig) -> 
         spans_dir=cfg.spans_out_dir,
         render_iters=cfg.render_iters,
         scrape_paths=tuple(opts.scrape_paths),
+        span_steps=tuple(default_registry.pipeline(list(cfg.span_steps)))
+        if (cfg.span_steps or default_registry._pre_hooks or default_registry._post_hooks)
+        else (),
     )
 
 

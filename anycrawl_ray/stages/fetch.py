@@ -81,6 +81,11 @@ class JobContext:
     # sha256 chain over the page's first 4 KB, ``render_iters`` rounds;
     # cache-resident, so it scales with cores rather than memory bandwidth.
     render_iters: int = 0
+    # §2.10 user-extension surface: registered PipelineStep objects applied
+    # to every span batch before the parquet sink (steps.py; reference
+    # EngineConfigurator.ts:142-147 hook-merge semantics). Callables are
+    # built ONCE per worker in __init__ (stateful classes = per-actor state).
+    span_steps: tuple = ()
 
 
 def fetch_parse_batch(
@@ -264,6 +269,7 @@ class _WorkerCore:
             list(self.ctx.include_paths), list(self.ctx.exclude_paths)
         )
         self._scrape_matcher = PathMatcher(list(self.ctx.scrape_paths), [])
+        self._span_step_fns = [s.make_callable() for s in self.ctx.span_steps]
 
     def process(
         self, batch: pa.Table, round_no: int = 0, part_id: int = 0,
@@ -289,6 +295,8 @@ class _WorkerCore:
                     spans_table.column("url").to_pylist()
                 )
                 spans_table = spans_table.filter(pa.array(keep))
+            for fn in self._span_step_fns:  # §2.10 registered span steps
+                spans_table = fn(spans_table)
             if spans_table.num_rows:
                 d = os.path.join(self.ctx.spans_dir, f"round={round_no:05d}")
                 os.makedirs(d, exist_ok=True)

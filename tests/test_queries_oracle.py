@@ -114,7 +114,7 @@ def test_sql_checked(registry, duck, name):
 ROWS_ONLY = [
     "crawl_bfs", "crawl_spans", "minhash_dedup", "simhash_dedup",
     "doc_fingerprint", "media_features", "serp_parse", "js_requirement",
-    "ngram_dedup", "monitor_diff", "search_scrape",
+    "ngram_dedup", "monitor_diff", "search_scrape", "ann_ivf",
 ]
 
 

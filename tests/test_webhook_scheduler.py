@@ -72,3 +72,90 @@ def test_job_events_transition_triple():
     bad = wh.job_events("search", "j", ok=False)
     assert [e[0] for e in ok] == ["search.created", "search.started", "search.completed"]
     assert [e[0] for e in bad] == ["search.created", "search.started", "search.failed"]
+
+
+# ---------------------------------------------------------------------------
+# T9 scheduler lifecycle (mirrors reference Scheduler.lifecycle.test.ts)
+# ---------------------------------------------------------------------------
+
+from anycrawl_ray.functions import scheduler as sch
+
+
+def test_dispatch_committed_error_preserves_job_uuid():
+    # lifecycle test: "recognizes dispatch-committed errors and preserves
+    # job UUID from error payload"
+    d, j = sch.resolve_dispatch_state_from_error(
+        False, None, {"dispatch_committed": True, "job_uuid": "job-9"}
+    )
+    assert (d, j) == (True, "job-9")
+    d, j = sch.resolve_dispatch_state_from_error(False, "kept", {"dispatch_committed": True, "job_uuid": "x"})
+    assert (d, j) == (True, "kept")  # existing uuid wins
+    d, j = sch.resolve_dispatch_state_from_error(False, None, {"other": 1})
+    assert (d, j) == (False, None)
+
+
+def test_scheduled_for_resolution_and_idempotency_key():
+    # "uses nextExecutionAt as scheduledFor when it is available" +
+    # "builds stable idempotency keys"
+    assert sch.resolve_scheduled_for(120.0, 999.0) == 120.0
+    assert sch.resolve_scheduled_for("120.5", 999.0) == 120.5
+    assert sch.resolve_scheduled_for(None, 999.0) == 999.0
+    assert sch.resolve_scheduled_for("garbage", 999.0) == 999.0
+    k = sch.build_idempotency_key("t1", 120.0)
+    assert k == sch.build_idempotency_key("t1", 120.0) and k.startswith("t1-")
+
+
+def test_overdue_catch_up_once_and_schedule_advance():
+    st = sch.SchedulerState()
+    st.add_task(sch.ScheduledTask("t1", "daily", interval_s=100.0))
+    # 3 periods missed -> exactly ONE catch-up execution, schedule past now
+    r = st.sync(now=350.0)
+    assert r["triggered"] == 1
+    assert len(st.executions) == 1
+    assert st.tasks["t1"].next_execution_at == 400.0
+    # idempotent within the same instant
+    assert st.sync(now=350.0)["triggered"] == 0
+    # next period fires once more
+    assert st.sync(now=401.0)["triggered"] == 1
+
+
+def test_finalize_transition_guard():
+    # "skips ... when finalizeExecution does not transition" /
+    # "updates ... when finalizeExecution transitions"
+    st = sch.SchedulerState()
+    st.add_task(sch.ScheduledTask("t1", "x", interval_s=10.0))
+    st.sync(now=10.0)
+    ex = st.executions[0]
+    assert st.finalize_execution(ex.uuid, "completed", 11.0) is True
+    assert ex.status == "completed"
+    assert st.finalize_execution(ex.uuid, "failed", 12.0) is False  # terminal: no-op
+    assert ex.status == "completed" and ex.error_code is None
+    assert st.finalize_execution("missing", "failed", 12.0) is False
+
+
+def test_stale_pending_cleanup():
+    st = sch.SchedulerState()
+    st.add_task(sch.ScheduledTask("t1", "x", interval_s=10.0))
+    st.sync(now=10.0)  # creates pending execution at t=10
+    r = st.sync(now=10.0 + sch.STALE_PENDING_SECONDS + 1)
+    assert r["stale_failed"] == 1
+    ex = st.executions[0]
+    assert ex.status == "failed" and ex.error_code == sch.STALE_PENDING_CODE
+    # started executions are NOT stale-failed
+    st2 = sch.SchedulerState()
+    st2.add_task(sch.ScheduledTask("t2", "x", interval_s=10.0))
+    st2.sync(now=10.0)
+    st2.executions[0].started_at = 11.0
+    assert st2.sync(now=1000.0)["stale_failed"] == 0
+
+
+def test_pause_resume_lifecycle():
+    st = sch.SchedulerState()
+    st.add_task(sch.ScheduledTask("t1", "x", interval_s=10.0))
+    st.pause("t1")
+    r = st.sync(now=100.0)
+    assert r == {"triggered": 0, "skipped_paused": 1, "stale_failed": 0}
+    assert st.tasks["t1"].next_execution_at == 10.0  # schedule untouched while paused
+    st.resume("t1")
+    assert st.sync(now=100.0)["triggered"] == 1
+    assert st.tasks["t1"].next_execution_at == 110.0
