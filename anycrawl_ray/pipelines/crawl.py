@@ -81,6 +81,10 @@ class CrawlRunConfig:
     # registry order); resolved to PipelineStep objects at job start and
     # broadcast to workers inside JobContext
     span_steps: tuple = ()
+    # LLM format DAG: request derived span kinds ("json", "summary") per OK
+    # page — chunk->extract/summary->merge in the fetch workers
+    # (reference DataExtractor.ts:437-586; deterministic agent mode here)
+    formats: tuple = ()
 
 
 @dataclass
@@ -267,6 +271,7 @@ def make_job_context(seed_url: str, opts: CrawlOptions, cfg: CrawlRunConfig) -> 
         span_steps=tuple(default_registry.pipeline(list(cfg.span_steps)))
         if (cfg.span_steps or default_registry._pre_hooks or default_registry._post_hooks)
         else (),
+        formats=tuple(cfg.formats),
     )
 
 

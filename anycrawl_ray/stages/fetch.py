@@ -86,6 +86,13 @@ class JobContext:
     # EngineConfigurator.ts:142-147 hook-merge semantics). Callables are
     # built ONCE per worker in __init__ (stateful classes = per-actor state).
     span_steps: tuple = ()
+    # LLM format DAG (reference core/DataExtractor.ts:437-586): when
+    # "json"/"summary" are requested, each page's markdown flows through the
+    # chunk -> per-chunk agent call -> merge pipeline (functions/agents.py,
+    # deterministic mode in this sandbox) and the results append as new span
+    # kinds in document order: base spans, then json, then summary.
+    formats: tuple = ()
+    json_schema_keys: tuple = ("title", "topic")
 
 
 def fetch_parse_batch(
@@ -227,6 +234,37 @@ def fetch_parse_batch(
     return meta, spans_table
 
 
+def append_format_spans(
+    spans_table: pa.Table, formats: tuple, llm, schema_keys: list[str]
+) -> pa.Table:
+    """LLM format DAG (reference core/DataExtractor.ts:437-586): derive json
+    (chunk -> extract-per-chunk -> first-non-null merge) and summary
+    (per-chunk summaries -> reduce) from each OK page's markdown and append
+    them as span rows AFTER the base spans, order-preserved (json before
+    summary, mirroring the formats DAG's assembly order)."""
+    import json as _json
+
+    spans_py = spans_table.column("spans").to_pylist()
+    mds = spans_table.column("markdown").to_pylist()
+    oks = spans_table.column("ok").to_pylist()
+    for sp, m, ok in zip(spans_py, mds, oks):
+        if not ok:
+            continue
+        off = len(sp)
+        if "json" in formats:
+            data = llm.extract(m, schema_keys)
+            sp.append({"kind": "json", "text": _json.dumps(data, sort_keys=True),
+                       "media_ref": "", "offset": off})
+            off += 1
+        if "summary" in formats:
+            sp.append({"kind": "summary", "text": llm.summary(m),
+                       "media_ref": "", "offset": off})
+    i = spans_table.column_names.index("spans")
+    return spans_table.set_column(
+        i, "spans", pa.array(spans_py, spans_table.schema.field("spans").type)
+    )
+
+
 def full_fetch_table(meta: pa.Table, spans_table: pa.Table) -> pa.Table:
     """Recombine meta+spans into the wide FETCH_SCHEMA (tests/debug)."""
     return pa.Table.from_arrays(
@@ -270,6 +308,11 @@ class _WorkerCore:
         )
         self._scrape_matcher = PathMatcher(list(self.ctx.scrape_paths), [])
         self._span_step_fns = [s.make_callable() for s in self.ctx.span_steps]
+        self._llm = None
+        if "json" in self.ctx.formats or "summary" in self.ctx.formats:
+            from ..functions.agents import LLMAgentStub
+
+            self._llm = LLMAgentStub(mode="deterministic")  # once per actor
 
     def process(
         self, batch: pa.Table, round_no: int = 0, part_id: int = 0,
@@ -289,6 +332,11 @@ class _WorkerCore:
             if batch.num_rows == 0:
                 return pa.Table.from_pylist([], FETCH_META_SCHEMA)
         meta, spans_table = fetch_parse_batch(batch, self.idx, self.ctx, self.matcher)
+        if self._llm is not None and spans_table.num_rows:
+            spans_table = append_format_spans(
+                spans_table, self.ctx.formats, self._llm,
+                list(self.ctx.json_schema_keys),
+            )
         if self.ctx.spans_dir and spans_table.num_rows:
             if self.ctx.scrape_paths:  # M12 content gate
                 keep = self._scrape_matcher.match_many(

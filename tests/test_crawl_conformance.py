@@ -260,3 +260,44 @@ def test_relaxed_mode_same_page_set(ray_session, small_corpus):
 
     with _pytest.raises(ValueError):
         run_crawl_relaxed(SEED, CrawlOptions(limit=5, per_host_cap=2), small_corpus)
+
+
+def test_format_dag_json_summary_spans(ray_session, small_corpus, tmp_path):
+    """LLM format DAG (DataExtractor.ts:437-586): formats=("json","summary")
+    appends json then summary span kinds AFTER each OK page's base spans,
+    values equal to the chunk->extract/summary->merge pipeline run
+    independently on the page markdown; crawl order unchanged."""
+    import json as _json
+
+    from anycrawl_ray.functions.agents import LLMAgentStub
+
+    opts = CrawlOptions(limit=12)
+    spans_dir = str(tmp_path / "spans_fmt")
+    idx = CorpusIndex(small_corpus)
+    golden = run_reference_crawl(SEED, opts, SyntheticFetcher(idx))
+    out = run_crawl(SEED, opts, small_corpus,
+                    CrawlRunConfig(spans_out_dir=spans_dir,
+                                   formats=("json", "summary")))
+    assert out.order == golden.order
+
+    t = pq.read_table(spans_dir)
+    llm = LLMAgentStub(mode="deterministic")
+    by_url = {
+        t.column("url")[i].as_py(): (
+            t.column("spans")[i].as_py(), t.column("markdown")[i].as_py()
+        )
+        for i in range(t.num_rows)
+    }
+    checked = 0
+    for u, row_idx in zip([u for u, _, ok in golden.order if ok], golden.fetched_rows):
+        spans, md = by_url[u]
+        base = small_corpus.column("spans")[row_idx].as_py()
+        # base spans preserved in order, then json, then summary
+        assert [s["kind"] for s in spans] == [s["kind"] for s in base] + ["json", "summary"]
+        assert spans[-2]["text"] == _json.dumps(
+            llm.extract(md, ["title", "topic"]), sort_keys=True
+        )
+        assert spans[-1]["text"] == llm.summary(md)
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        checked += 1
+    assert checked > 0
