@@ -25,10 +25,10 @@ def entry() -> Any:
     from anycrawl_ray.pipelines.crawl import CrawlRunConfig, run_crawl
     from anycrawl_ray.refmodel import CrawlOptions
 
-    import shutil
+    import tempfile
 
-    out_dir = "/tmp/anycrawl_entry_spans"
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # per-run temp dir: parallel driver runs must not collide
+    out_dir = tempfile.mkdtemp(prefix="anycrawl_entry_spans_")
     corpus = generate_corpus("/root/testdata/sf0.001", CorpusConfig(n_pages=200))
     run_crawl(
         "http://h00.example.test/p/0000",

@@ -607,12 +607,13 @@ def q_crawl_bfs(sf_dir: str):
     return out.order_table()
 
 
-def q_crawl_spans(sf_dir: str, _tmp="/tmp/anycrawl_q_spans"):
+def q_crawl_spans(sf_dir: str, _tmp=None):
     """Interleaved span docs fetched by the crawl (input_hint schema)."""
-    import shutil
+    import tempfile
 
+    if _tmp is None:  # per-run dir: parallel driver runs must not collide
+        _tmp = tempfile.mkdtemp(prefix="anycrawl_q_spans_")
     corpus = generate_corpus(sf_dir, CorpusConfig(n_pages=300))
-    shutil.rmtree(_tmp, ignore_errors=True)
     run_crawl(
         "http://h00.example.test/p/0000",
         CrawlOptions(limit=60, strategy="all"),
