@@ -539,6 +539,114 @@ def simhash_bucket_verify(
 
 
 # ---------------------------------------------------------------------------
+# Embedding LSH (random hyperplanes, Charikar 2002) — the SCALE path for
+# embedding near-dup: brute-force blocked matmul is O(n^2) and broadcasts
+# the full matrix; hyperplane band rows reuse the exact same one-shuffle
+# bucket machinery as minhash (bucket_candidate_pairs consumes the rows
+# unchanged), then exact-cosine verify over candidate-only embeddings.
+# Effective for HIGH cosine thresholds (near-dups ~0.9: per-bit collision
+# p = 1 - theta/pi ≈ 0.857, so 16 bands x 8 bits recall ≈ 99%); at low
+# thresholds (~0.4) no hyperplane scheme blocks well — use the exact path.
+# ---------------------------------------------------------------------------
+
+
+def make_hyperplane_band_fn(nbits: int = 128, n_bands: int = 16,
+                            n_parts: int = 32, seed: int = 123):
+    """Task-based map_batches fn: (vec_id, embedding) -> LSH band rows with
+    the SAME column names the minhash bucket stage consumes:
+    (band int32, band_hash uint64, doc_id int64, part int32)."""
+    band_bits = nbits // n_bands
+    assert band_bits <= 62
+    weights = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))
+    state: dict = {}  # R built lazily once per task worker (depends on d)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .ann import embedding_matrix
+
+        mat = embedding_matrix(batch)
+        if "R" not in state:
+            state["R"] = np.random.RandomState(seed).randn(nbits, mat.shape[1])
+        bits = (mat @ state["R"].T) > 0  # (n, nbits)
+        n = len(mat)
+        band_col = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        vals = np.empty((n, n_bands), dtype=np.uint64)
+        for b in range(n_bands):
+            sl = bits[:, b * band_bits : (b + 1) * band_bits].astype(np.uint64)
+            vals[:, b] = sl @ weights
+        hash_col = vals.reshape(-1)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+        part = _bucket_part(band_col, hash_col, n_parts)
+        return pa.table(
+            {
+                "band": pa.array(band_col, pa.int32()),
+                "band_hash": pa.array(hash_col, pa.uint64()),
+                "doc_id": batch.column("vec_id").take(pa.array(doc_idx)),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def make_embedding_emit_fn(ids_ref):
+    """Task-based map_batches fn: (vec_id, embedding) -> (doc_id, emb binary
+    float64, L2-normalized) for candidate ids only (semi-join pushdown,
+    pre-sorted id array broadcast via ray.put)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .ann import embedding_matrix
+
+        cand_ids = ray.get(ids_ref)
+        ids = batch.column("vec_id").to_numpy()
+        pos = np.clip(np.searchsorted(cand_ids, ids), 0, len(cand_ids) - 1)
+        mask = cand_ids[pos] == ids
+        keep = batch.filter(pa.array(mask))
+        mat = l2_normalize(embedding_matrix(keep)) if keep.num_rows else np.zeros((0, 1))
+        return pa.table(
+            {
+                "doc_id": keep.column("vec_id"),
+                "emb": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+    return fn
+
+
+_EMB_DICT_CACHE: dict = {}
+
+
+def make_embedding_verify_fn(boxed_refs, threshold: float):
+    """Task-based map_batches fn over candidate pairs: exact cosine from
+    plasma-resident normalized embeddings (worker-memoized dict)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = boxed_refs[0][0].hex() if boxed_refs[0] else ""
+        if key not in _EMB_DICT_CACHE:
+            emb: dict[int, np.ndarray] = {}
+            for tb in ray.get(list(boxed_refs[0])):
+                for d, e in zip(tb.column("doc_id").to_pylist(), tb.column("emb").to_pylist()):
+                    emb[d] = np.frombuffer(e, dtype=np.float64)
+            _EMB_DICT_CACHE.clear()
+            _EMB_DICT_CACHE[key] = emb
+        emb = _EMB_DICT_CACHE[key]
+        ao, bo, co = [], [], []
+        for a_id, b_id in zip(
+            batch.column("a_id").to_pylist(), batch.column("b_id").to_pylist()
+        ):
+            c = float(emb[a_id] @ emb[b_id])
+            if c >= threshold:
+                ao.append(a_id)
+                bo.append(b_id)
+                co.append(round(c, 6))
+        return pa.table(
+            {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
+             "cos": pa.array(co, pa.float64())}
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -461,6 +461,59 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def embedding_lsh_dedup_dataset(
+    ds: rd.Dataset, *, threshold: float = 0.85, nbits: int = 128,
+    n_bands: int = 16, n_parts: int = 32, max_bucket: int = 256,
+) -> pa.Table:
+    """Scale path for embedding near-dup (q_embedding_dedup is the exact
+    O(n^2) baseline): random-hyperplane band rows -> ONE co-partitioned
+    groupby("part") bucket shuffle (reusing the minhash kernel) -> exact
+    cosine verify against plasma-resident candidate embeddings. Right for
+    HIGH thresholds (~0.85+); recall math in functions/dedup.py."""
+    band_ds = ds.map_batches(
+        dd.make_hyperplane_band_fn(nbits=nbits, n_bands=n_bands, n_parts=n_parts),
+        batch_format="pyarrow", batch_size=2048,
+    )
+    cand = band_ds.groupby("part").map_groups(
+        lambda t: dd.bucket_candidate_pairs(t, max_bucket=max_bucket),
+        batch_format="pyarrow",
+    ).materialize()
+    both = cand.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pa.concat_arrays(
+                [t.column("a_id").combine_chunks(), t.column("b_id").combine_chunks()]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    ids = np.unique(np.array(both.unique("doc_id"), dtype=np.int64))
+    if len(ids) == 0:
+        return pa.table(
+            {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+    ids_ref = ray.put(ids)
+    emb_ds = ds.map_batches(
+        dd.make_embedding_emit_fn(ids_ref), batch_format="pyarrow", batch_size=2048,
+    )
+    boxed = [emb_ds.materialize().to_arrow_refs()]
+    out = cand.map_batches(
+        dd.make_embedding_verify_fn(boxed, threshold), batch_format="pyarrow",
+    )
+    return _dedup_pair_table(_collect(out), "cos")
+
+
+def q_embedding_dedup_lsh(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs at cos>=0.85 — EXPECTED EMPTY on the
+    sf corpora (max pairwise cos ~0.51); the recall gate runs on a clustered
+    corpus in tests/test_dedup.py. Registered so the scale path is a driver
+    entry, not just a library function."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_lsh_dedup_dataset(ds)
+
+
 def q_supplier_geo(sf_dir: str):
     """Chained broadcast joins: supplier -> nation -> region rollup.
     Both dimensions are tiny; broadcast once, no shuffle join."""
@@ -932,6 +985,7 @@ def build_queries() -> dict[str, Callable]:
         "media_features": q_media_features,
         "serp_parse": q_serp_parse,
         "ann_ivf": q_ann_ivf,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
     }
 
 

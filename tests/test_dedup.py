@@ -197,3 +197,42 @@ def test_simhash_distributed_full_recall_on_hot_bucket(ray_session):
 
     counts = Counter((b, int(v)) for row in bands for b, v in enumerate(row))
     assert max(counts.values()) > 64
+
+
+def test_embedding_lsh_recall_on_clustered_corpus(ray_session):
+    """Hyperplane-LSH scale path vs exact brute force at cos>=0.95 on a
+    clustered corpus: precision 1.0 (exact verify) and recall >=0.9."""
+    import ray.data as rd
+
+    from anycrawl_ray.queries import embedding_lsh_dedup_dataset
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(40, 32) * 6
+    rows, ids = [], []
+    for i in range(600):
+        rows.append(centers[i % 40] + rng.randn(32) * 0.12)
+        ids.append(i)
+    mat = np.asarray(rows)
+    nm = dd.l2_normalize(mat)
+    sims = nm @ nm.T
+    brute = {
+        (a, b)
+        for a in range(600)
+        for b in range(a + 1, 600)
+        if sims[a, b] >= 0.95
+    }
+    assert len(brute) >= 50, "fixture must contain near-dup pairs"
+
+    t = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64()))}
+    )
+    out = embedding_lsh_dedup_dataset(rd.from_arrow(t), threshold=0.95, n_parts=4)
+    got = set(zip(out.column("a_id").to_pylist(), out.column("b_id").to_pylist()))
+    assert got <= brute  # exact verify -> no false positives
+    assert len(got) >= 0.9 * len(brute)
+    # cos values are exact (same arithmetic as the brute force)
+    for a, b, c in zip(out.column("a_id").to_pylist(),
+                       out.column("b_id").to_pylist(),
+                       out.column("cos").to_pylist()):
+        assert abs(c - round(float(sims[a, b]), 6)) < 1e-9
