@@ -823,6 +823,151 @@ def q_serp_parse(sf_dir: str):
     )
 
 
+def q_revenue_topk(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table join: customer (segment filter) ⋈ orders
+    (date filter) ⋈ lineitem (date filter) → per-order revenue top-10.
+
+    Scale shape: the two smaller sides shrink as they move up the chain —
+    BUILDING custkeys broadcast via ray.put into the orders filter; the
+    filtered orders projection (orderkey, orderdate) materializes to plasma
+    shards whose boxed refs every lineitem task reads zero-copy (worker-
+    memoized lookup arrays). The fact table streams; revenue pre-aggregates
+    per batch before the small final groupby. No driver-side row
+    materialization until the top-10."""
+    from datetime import datetime
+
+    cut = datetime(1998, 1, 1)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    bkeys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey").to_numpy()
+    )
+    bkeys_ref = ray.put(bkeys)
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(bkeys_ref)
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        mask = (keys[pos] == ck) & pc.less(
+            t.column("o_orderdate"), pa.scalar(cut)
+        ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+
+    orders_ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(filter_orders, batch_format="pyarrow").materialize()
+    boxed = [orders_ds.to_arrow_refs()]
+
+    _ORD_CACHE: dict = {}
+
+    def join_lineitem(t: pa.Table) -> pa.Table:
+        key = boxed[0][0].hex() if boxed[0] else ""
+        if key not in _ORD_CACHE:
+            parts = [x for x in ray.get(list(boxed[0])) if x.num_rows]
+            ot = pa.concat_tables(parts) if parts else None
+            if ot is None:
+                _ORD_CACHE[key] = (np.zeros(0, np.int64), np.zeros(0, "datetime64[us]"))
+            else:
+                ok = ot.column("o_orderkey").to_numpy()
+                od = ot.column("o_orderdate").to_numpy(zero_copy_only=False)
+                order = np.argsort(ok)
+                _ORD_CACHE[key] = (ok[order], od[order])
+        okeys, odates = _ORD_CACHE[key]
+        if len(okeys) == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "rev_part": pa.array([], pa.float64())}
+            )
+        ship_ok = pc.greater(t.column("l_shipdate"), pa.scalar(cut)).to_numpy(
+            zero_copy_only=False
+        )
+        lk = t.column("l_orderkey").to_numpy()
+        pos = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
+        hit = ship_ok & (okeys[pos] == lk)
+        rev = (
+            t.column("l_extendedprice").to_numpy()
+            * (1.0 - t.column("l_discount").to_numpy())
+        )
+        sub = pa.table(
+            {
+                "l_orderkey": pa.array(lk[hit], pa.int64()),
+                "o_orderdate": pa.array(odates[pos][hit]),
+                "rev_part": pa.array(rev[hit], pa.float64()),
+            }
+        )
+        # partial per-batch combine before the shuffle
+        return sub.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("rev_part", "sum")]
+        ).rename_columns(["l_orderkey", "o_orderdate", "rev_part"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(join_lineitem, batch_format="pyarrow")
+    agg = li.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_part", alias_name="revenue")
+    )
+    top = agg.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
+    return _round2(_collect(top), "revenue")
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (TPC-H-Q22-shaped): customers with NO high-value order
+    (o_totalprice > 300000), counted per nation with their total balance.
+    The filtered orders keyset (distinct custkeys, far smaller than the
+    orders table) broadcasts once; every customer batch anti-filters
+    vectorized — no shuffle join."""
+    ot = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    okeys = np.sort(
+        np.unique(
+            ot.filter(pc.greater(ot.column("o_totalprice"), 300000.0))
+            .column("o_custkey").to_numpy()
+        )
+    )
+    okeys_ref = ray.put(okeys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(okeys_ref)
+        ck = t.column("c_custkey").to_numpy()
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        has_order = keys[pos] == ck
+        return t.filter(pa.array(~has_order)).select(["c_nationkey", "c_acctbal"])
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+    t = _collect(
+        ds.groupby("c_nationkey").aggregate(
+            Count(alias_name="n"), Sum("c_acctbal", alias_name="total_bal")
+        )
+    )
+    return _round2(t, "total_bal").sort_by("c_nationkey")
+
+
+def q_events_value_stats(sf_dir: str):
+    """Higher-moment aggregates per group: sample stddev + mean of event
+    values (Ray Std/Mean aggregates vs DuckDB stddev_samp/avg)."""
+    from ray.data.aggregate import Mean, Std
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    t = _collect(
+        ds.groupby("event_type").aggregate(
+            Count(alias_name="n"),
+            Mean("value", alias_name="avg_value"),
+            Std("value", alias_name="sd_value"),
+        )
+    )
+    return _round2(_round2(t, "avg_value"), "sd_value").sort_by("event_type")
+
+
 def q_webhook_events(sf_dir: str):
     """S11 webhook sink: one synthetic crawl job per document (failing every
     10th), fanned through the typed event catalog + subscription matching +
@@ -972,6 +1117,9 @@ def build_queries() -> dict[str, Callable]:
         "topk_per_group": q_topk_per_group,
         "daily_active_users": q_daily_active_users,
         "webhook_events": q_webhook_events,
+        "revenue_topk": q_revenue_topk,
+        "customers_no_orders": q_customers_no_orders,
+        "events_value_stats": q_events_value_stats,
         # rows-only (non-SQL-expressible)
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
@@ -1175,6 +1323,35 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    COUNT(DISTINCT user_id) AS active_users
             FROM events GROUP BY 1 ORDER BY day
+        """,
+        "customers_no_orders": """
+            SELECT c_nationkey, COUNT(*) AS n,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "events_value_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(value), 2) AS avg_value,
+                   ROUND(STDDEV_SAMP(value), 2) AS sd_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "revenue_topk": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY SUM(l_extendedprice * (1.0 - l_discount)) DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
         """,
         # mirrors functions/webhook.py accounting: success on attempt a iff
         # (doc_id + len(event_type)) % 7 == a-1; delivered backoff =

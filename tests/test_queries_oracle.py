@@ -98,7 +98,8 @@ SQL_CHECKED = [
     "quality_score", "normalize_hash", "length_stats", "lineitem_pricing",
     "events_daily", "ann_cosine", "embedding_dedup", "supplier_geo",
     "part_type_stats", "html_markdown", "sessionize", "topk_per_group",
-    "daily_active_users", "webhook_events",
+    "daily_active_users", "webhook_events", "revenue_topk",
+    "customers_no_orders", "events_value_stats",
 ]
 
 
