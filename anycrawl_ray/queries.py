@@ -166,25 +166,22 @@ def q_join_fanout(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     keys = cust.column("c_custkey").to_numpy()
+    order = np.argsort(keys)
     segs = np.asarray(cust.column("c_mktsegment"))
-    lut_ref = ray.put((keys, segs))
+    # pre-sorted lookup broadcast once; a TASK-based fn (not an actor pool):
+    # the per-task "state" is one plasma ray.get, so tasks reuse the shared
+    # worker pool with zero actor cold-start
+    lut_ref = ray.put((keys[order], segs[order]))
 
-    class SegmentJoiner:
-        def __init__(self, ref):
-            k, s = ray.get(ref)
-            order = np.argsort(k)
-            self.keys, self.segs = k[order], s[order]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t.column("o_custkey").to_numpy()
-            pos = np.searchsorted(self.keys, ck)
-            pos = np.clip(pos, 0, len(self.keys) - 1)
-            seg = np.where(self.keys[pos] == ck, self.segs[pos], None)
-            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+    def segment_join(t: pa.Table) -> pa.Table:
+        k, s = ray.get(lut_ref)  # plasma-cached per worker
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        seg = np.where(k[pos] == ck, s[pos], None)
+        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        SegmentJoiner, fn_constructor_args=(lut_ref,), concurrency=2,
-        batch_format="pyarrow", zero_copy_batch=True,
+        segment_join, batch_format="pyarrow", zero_copy_batch=True,
     )
     t = _collect(ds.groupby("c_mktsegment") .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total")))
     return _round2(t, "total").sort_by("c_mktsegment")

@@ -129,6 +129,7 @@ def bench_queries() -> dict[str, float]:
         "counters_by_type", "dedup_exact", "join_fanout", "lineitem_pricing",
         "token_count", "language_id", "quality_score", "minhash_dedup",
         "simhash_dedup", "ann_cosine", "events_daily", "cache_lookup",
+        "revenue_topk", "webhook_events",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

@@ -84,6 +84,21 @@ def main() -> None:
             ),
             resume=args.resume,
         )
+        # S11: emit the job's webhook transition events to a local sink table
+        # (deterministic delivery model — no network in this sandbox)
+        from anycrawl_ray import storage
+        from anycrawl_ray.functions import webhook as wh
+
+        sub = wh.WebhookSubscription(
+            "job-subscriber", "http://sink.example.test/hook",
+            ("crawl.created", "crawl.started", "crawl.completed", "crawl.failed"),
+        )
+        events = wh.job_events("crawl", "job", ok=out.failed == 0 or out.completed > 0)
+        deliveries = wh.deliver_events(events, [sub], lambda s, e, i, a: True)
+        storage.write_table(
+            deliveries, storage.table_uri(args.out, "webhook_events")
+        )
+
         print(
             json.dumps(
                 {
@@ -94,6 +109,7 @@ def main() -> None:
                     "frontier_ops": out.frontier_ops,
                     "bytes": out.total_bytes,
                     "spans_dir": os.path.join(args.out, "spans"),
+                    "webhook_events": len(events),
                     "top_host_count_max": max((s[2] for s in out.host_stats), default=0),
                 }
             )
