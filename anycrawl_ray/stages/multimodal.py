@@ -88,6 +88,47 @@ class MediaFeatureExtractor:
         )
 
 
+class ImageResizer:
+    """Image resize stub: clamps (width, height) to ``max_dim`` preserving
+    aspect ratio and emits a size-proportional deterministic payload.
+
+    Real version: PIL/libvips thumbnail HERE (handles loaded once per actor
+    in __init__); the Ray-side contract — MEDIA_SCHEMA in, MEDIA_SCHEMA out,
+    small batches for fat binary rows — is real and tested.
+    """
+
+    def __init__(self, max_dim: int = 256, mode: str = "fake"):
+        if mode not in ("fake", "strict"):
+            raise ValueError(mode)
+        self.max_dim = max_dim
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            raise NotImplementedError("real image resize requires PIL/libvips")
+        w = batch.column("width").to_numpy().astype(np.int64)
+        h = batch.column("height").to_numpy().astype(np.int64)
+        scale = np.minimum(1.0, self.max_dim / np.maximum(np.maximum(w, h), 1))
+        nw = np.maximum((w * scale).astype(np.int32), 1)
+        nh = np.maximum((h * scale).astype(np.int32), 1)
+        payloads = batch.column("payload").to_pylist()
+        resized = [
+            hashlib.sha256((p or b"") + bytes([int(a) % 256, int(b) % 256])).digest()
+            for p, a, b in zip(payloads, nw, nh)
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch.column("media_ref"),
+                batch.column("kind"),
+                pa.array(resized, pa.binary()),
+                pa.array(nw, pa.int32()),
+                pa.array(nh, pa.int32()),
+                batch.column("duration_ms"),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+
 class FrameSampler:
     """Video frame sampling stub: emits every k-th synthetic frame ref.
 

@@ -132,3 +132,48 @@ def test_frame_sampler_flatmap_shape():
     expected = sum(len(range(0, max(d, 1), 2000)) for d in durs)
     assert out.num_rows == expected
     assert out.column("media_ref")[0].as_py().endswith("#frame0")
+
+
+def test_image_resizer_stage(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.multimodal import (
+        MEDIA_SCHEMA, ImageResizer, synth_media_table,
+    )
+
+    media = synth_media_table(64)
+    out = (
+        rd.from_arrow(media)
+        .map_batches(ImageResizer, fn_constructor_kwargs={"max_dim": 256},
+                     concurrency=2, batch_size=16, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(out) == 64
+    assert (out["width"].max() <= 256) and (out["height"].max() <= 256)
+    # aspect ratio preserved within integer rounding
+    import numpy as np
+    src = media.to_pandas()
+    big = src["width"].to_numpy() > 256
+    ratio_src = src["width"].to_numpy() / src["height"].to_numpy()
+    merged = src.merge(out, on="media_ref", suffixes=("_a", "_b"))
+    ratio_out = merged["width_b"].to_numpy() / merged["height_b"].to_numpy()
+    ratio_in = merged["width_a"].to_numpy() / merged["height_a"].to_numpy()
+    assert np.allclose(ratio_out, ratio_in, rtol=0.15)
+    # deterministic payload, schema stable
+    out2 = (
+        rd.from_arrow(media)
+        .map_batches(ImageResizer, fn_constructor_kwargs={"max_dim": 256},
+                     concurrency=1, batch_size=64, batch_format="pyarrow")
+        .to_pandas()
+    )
+    a = out.sort_values("media_ref").reset_index(drop=True)
+    b = out2.sort_values("media_ref").reset_index(drop=True)
+    assert (a["payload"] == b["payload"]).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        rd.from_arrow(media.slice(0, 4)).map_batches(
+            ImageResizer, fn_constructor_kwargs={"mode": "strict"},
+            concurrency=1, batch_format="pyarrow",
+        ).to_pandas()
