@@ -596,11 +596,12 @@ def run_crawl_relaxed(
     chunk_size = max(_PoolExecutor.MIN_CHUNK, cfg.dataset_batch_size)
     frontier.push(ctx.seed, 0, 0)
     dispatched = 0
+    n_chunks = 0
     next_worker = 0
     in_flight: dict = {}  # ref -> nrows
 
     def _dispatch_one() -> bool:
-        nonlocal dispatched, next_worker, mirror_complete
+        nonlocal dispatched, next_worker, mirror_complete, n_chunks
         rows = frontier.pop_wave(min(chunk_size, opts.limit - dispatched))
         if not rows:
             return False
@@ -630,7 +631,10 @@ def run_crawl_relaxed(
         workers = executor._ready_workers()
         w = workers[next_worker % len(workers)]
         next_worker += 1
-        ref = w.fetch.remote(table, out.rounds, dispatched)
+        # span dir keyed by DISPATCH counter (out.rounds mutates on
+        # completion, which races chunk dispatch); part id unique per chunk
+        n_chunks += 1
+        ref = w.fetch.remote(table, n_chunks, dispatched)
         in_flight[ref] = table.num_rows
         dispatched += table.num_rows
         return True

@@ -908,10 +908,27 @@ def q_revenue_topk(sf_dir: str):
     agg = li.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev_part", alias_name="revenue")
     )
-    top = agg.sort(
-        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
-    ).limit(10)
-    return _round2(_collect(top), "revenue")
+
+    # top-10 without a second all-to-all sort shuffle: per-block local top-k
+    # (groups are already disjoint after the groupby), tiny driver merge
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 10:
+            return t
+        idx = np.lexsort(
+            (t.column("l_orderkey").to_numpy(),
+             t.column("o_orderdate").to_numpy(zero_copy_only=False),
+             -t.column("revenue").to_numpy())
+        )[:10]
+        return t.take(pa.array(idx))
+
+    parts = _collect(agg.map_batches(local_top, batch_format="pyarrow"))
+    idx = np.lexsort(
+        (parts.column("l_orderkey").to_numpy(),
+         parts.column("o_orderdate").to_numpy(zero_copy_only=False),
+         -parts.column("revenue").to_numpy())
+    )[:10]
+    top = parts.take(pa.array(idx)).select(["l_orderkey", "revenue", "o_orderdate"])
+    return _round2(top, "revenue")
 
 
 def q_customers_no_orders(sf_dir: str):

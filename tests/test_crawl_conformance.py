@@ -301,3 +301,34 @@ def test_format_dag_json_summary_spans(ray_session, small_corpus, tmp_path):
         assert [s["offset"] for s in spans] == list(range(len(spans)))
         checked += 1
     assert checked > 0
+
+
+def test_relaxed_mode_spans_complete(ray_session, small_corpus, tmp_path):
+    """Relaxed mode writes exactly one span row per OK page (no dups, none
+    missing), same content as conformance mode for the same page."""
+    from anycrawl_ray.pipelines.crawl import run_crawl_relaxed
+
+    opts = CrawlOptions(limit=100000, strategy="all")
+    d = str(tmp_path / "spans_rel")
+    out = run_crawl_relaxed(SEED, opts, small_corpus,
+                            CrawlRunConfig(n_fetch_workers=2, n_seen_shards=2,
+                                           spans_out_dir=d))
+    t = pq.read_table(d)
+    # spans rows cover EVERY fetched page (ok + failed-with-empty-spans),
+    # exactly once each
+    assert sorted(t.column("url").to_pylist()) == sorted(u for u, _, _ in out.order)
+    ok_t = t.filter(t.column("ok"))
+    ok_urls = [u for u, _, ok in out.order if ok]
+    assert sorted(ok_t.column("url").to_pylist()) == sorted(ok_urls)
+    # spot-check one page's spans vs the corpus
+    idx = CorpusIndex(small_corpus)
+    golden = run_reference_crawl(SEED, opts, SyntheticFetcher(idx))
+    by_url = {t.column("url")[i].as_py(): t.column("spans")[i].as_py()
+              for i in range(t.num_rows)}
+    u, row_idx = next(
+        (u, r) for (u, _, ok), r in zip(golden.order, golden.fetched_rows) if ok
+    )
+    ref = small_corpus.column("spans")[row_idx].as_py()
+    assert [(s["kind"], s["text"]) for s in by_url[u]] == [
+        (s["kind"], s["text"]) for s in ref
+    ]
