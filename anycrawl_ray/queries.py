@@ -820,6 +820,88 @@ def q_serp_parse(sf_dir: str):
     )
 
 
+def q_scheduler_executions(sf_dir: str):
+    """T9 oracle entry: one repeatable task per document (interval
+    50 + doc_id % 97 s), the REAL SchedulerState run through sync passes at
+    t = 100, 200, ..., 1000. Catch-up-once semantics make the per-task
+    execution count closed-form — a task triggers at sync j iff a period
+    boundary falls in (t_{j-1}, t_j], i.e. floor(t_j/I) > floor(t_{j-1}/I) —
+    so DuckDB can mirror the state machine algebraically. Distribution:
+    tasks are independent, so each batch runs its own SchedulerState
+    (map_batches), then a small histogram groupby."""
+    from .functions.scheduler import ScheduledTask, SchedulerState
+
+    def f(t: pa.Table) -> pa.Table:
+        st = SchedulerState()
+        ids = t.column("doc_id").to_pylist()
+        for d in ids:
+            st.add_task(ScheduledTask(f"t{d}", f"task-{d}", float(50 + d % 97)))
+        for j in range(1, 11):
+            st.sync(now=float(100 * j))
+        ex = pa.table(
+            {"executions": pa.array(
+                [st.tasks[f"t{d}"].executions for d in ids], pa.int64()
+            )}
+        )
+        return ex.group_by("executions").aggregate([("executions", "count")]) \
+            .rename_columns(["executions", "n_part"])
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        f, batch_format="pyarrow", batch_size=2048
+    )
+    t = _collect(ds.groupby("executions").aggregate(Sum("n_part", alias_name="n")))
+    return t.sort_by("executions")
+
+
+def q_proxy_ladder(sf_dir: str):
+    """T2/T3 oracle entry: one simulated proxied request per document —
+    proxy mode cycles (auto/stealth/base/custom), a FRESH per-request
+    ProxyRotator walks the real attempt ladder (tier stepping + rotation),
+    and the deterministic outcome (attempt a succeeds iff
+    (doc_id + a) % 5 == 0) makes attempts/status/proxy closed-form, so the
+    DuckDB oracle mirrors the whole ladder state machine. Output: counts per
+    (mode, ok, attempts, proxy)."""
+    from .functions import proxy as px
+
+    BASE, STEALTH = ["http://b1", "http://b2"], ["http://s1"]
+    MODES = ["auto", "stealth", "base", "http://c"]
+
+    def f(t: pa.Table) -> pa.Table:
+        modes, oks, atts, proxies = [], [], [], []
+        for d in t.column("doc_id").to_pylist():
+            mode = MODES[d % 4]
+            r = px.ProxyRotator(BASE, STEALTH)
+            res = px.simulate_request(
+                r.attempt_ladder(mode, retries=2),
+                lambda p, a, d=d: (d + a) % 5 == 0,
+            )
+            modes.append(mode)
+            oks.append(res["ok"])
+            atts.append(res["attempts"])
+            proxies.append(res["proxy"])
+        part = pa.table(
+            {"mode": pa.array(modes, pa.string()), "ok": pa.array(oks, pa.bool_()),
+             "attempts": pa.array(atts, pa.int64()),
+             "proxy": pa.array(proxies, pa.string())}
+        )
+        return part.group_by(["mode", "ok", "attempts", "proxy"]).aggregate(
+            [("proxy", "count")]
+        ).rename_columns(["mode", "ok", "attempts", "proxy", "n_part"])
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        f, batch_format="pyarrow", batch_size=2048
+    )
+    t = _collect(
+        ds.groupby(["mode", "ok", "attempts", "proxy"]).aggregate(
+            Sum("n_part", alias_name="n")
+        )
+    )
+    return t.sort_by(
+        [("mode", "ascending"), ("ok", "ascending"), ("attempts", "ascending"),
+         ("proxy", "ascending")]
+    )
+
+
 def q_revenue_topk(sf_dir: str):
     """TPC-H-Q3-shaped 3-table join: customer (segment filter) ⋈ orders
     (date filter) ⋈ lineitem (date filter) → per-order revenue top-10.
@@ -1134,6 +1216,8 @@ def build_queries() -> dict[str, Callable]:
         "revenue_topk": q_revenue_topk,
         "customers_no_orders": q_customers_no_orders,
         "events_value_stats": q_events_value_stats,
+        "scheduler_executions": q_scheduler_executions,
+        "proxy_ladder": q_proxy_ladder,
         # rows-only (non-SQL-expressible)
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
@@ -1337,6 +1421,52 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    COUNT(DISTINCT user_id) AS active_users
             FROM events GROUP BY 1 ORDER BY day
+        """,
+        # closed form of the proxy attempt ladder: fresh rotator per request
+        # gives fixed per-mode ladders auto=[b1,s1,s1], stealth=[s1,b2,b1],
+        # base=[b1,b2,b1], custom=[c,c,c]; success attempt = 5 - doc_id%5
+        # when that lands in 1..3, else failed at attempt 3 (last proxy)
+        "proxy_ladder": """
+            WITH per AS (
+                SELECT CASE doc_id % 4 WHEN 0 THEN 'auto' WHEN 1 THEN 'stealth'
+                            WHEN 2 THEN 'base' ELSE 'http://c' END AS mode,
+                       doc_id % 5 AS r
+                FROM documents
+            ), acc AS (
+                SELECT mode, (r >= 2) AS ok,
+                       CAST(CASE WHEN r >= 2 THEN 5 - r ELSE 3 END AS BIGINT)
+                           AS attempts
+                FROM per
+            )
+            SELECT mode, ok, attempts,
+                   CASE mode
+                     WHEN 'auto' THEN
+                       (CASE attempts WHEN 1 THEN 'http://b1' ELSE 'http://s1' END)
+                     WHEN 'stealth' THEN
+                       (CASE attempts WHEN 1 THEN 'http://s1'
+                             WHEN 2 THEN 'http://b2' ELSE 'http://b1' END)
+                     WHEN 'base' THEN
+                       (CASE attempts WHEN 1 THEN 'http://b1'
+                             WHEN 2 THEN 'http://b2' ELSE 'http://b1' END)
+                     ELSE 'http://c'
+                   END AS proxy,
+                   COUNT(*) AS n
+            FROM acc GROUP BY 1, 2, 3, 4
+            ORDER BY mode, ok, attempts, proxy
+        """,
+        # closed form of SchedulerState catch-up-once: task with interval I
+        # triggers at sync t_j=100j iff floor(t_j/I) > floor(t_{j-1}/I)
+        "scheduler_executions": """
+            WITH per AS (
+                SELECT doc_id,
+                       (SELECT COUNT(*) FROM range(1, 11) r(j)
+                        WHERE (100 * j) // (50 + doc_id % 97)
+                              > (100 * (j - 1)) // (50 + doc_id % 97))
+                           AS executions
+                FROM documents
+            )
+            SELECT CAST(executions AS BIGINT) AS executions, COUNT(*) AS n
+            FROM per GROUP BY executions ORDER BY executions
         """,
         "customers_no_orders": """
             SELECT c_nationkey, COUNT(*) AS n,

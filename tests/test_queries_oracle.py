@@ -99,7 +99,8 @@ SQL_CHECKED = [
     "events_daily", "ann_cosine", "embedding_dedup", "supplier_geo",
     "part_type_stats", "html_markdown", "sessionize", "topk_per_group",
     "daily_active_users", "webhook_events", "revenue_topk",
-    "customers_no_orders", "events_value_stats",
+    "customers_no_orders", "events_value_stats", "scheduler_executions",
+    "proxy_ladder",
 ]
 
 
