@@ -54,6 +54,30 @@ def snapshot_changes(group: pd.DataFrame, content_col: str = "props",
     return pd.concat([out, diff_df], axis=1)
 
 
+def monitor_webhook_events(diff_table, key_col: str = "user_id"):
+    """Map changed snapshots to the reference's monitor webhook event types
+    (WebhookEvents.ts monitor.* catalog; MonitorPostProcessor triggers
+    monitor.changed / monitor.price.changed per detected change):
+    price_up/price_down -> monitor.price.changed, other changes ->
+    monitor.changed, plus one monitor.check.completed per monitored key.
+    Returns (event_type, event_source, source_id) triples for
+    functions/webhook.deliver_events."""
+    events: list[tuple[str, str, str]] = []
+    keys = diff_table.column(key_col).to_pylist()
+    changed = diff_table.column("changed").to_pylist()
+    ctypes = diff_table.column("change_type").to_pylist()
+    for k in dict.fromkeys(keys):  # one check-completed per key, first-seen order
+        events.append(("monitor.check.completed", "monitor", str(k)))
+    for k, ch, ct in zip(keys, changed, ctypes):
+        if not ch:
+            continue
+        if ct in ("price_up", "price_down"):
+            events.append(("monitor.price.changed", "monitor", str(k)))
+        else:
+            events.append(("monitor.changed", "monitor", str(k)))
+    return events
+
+
 def monitor_diff_dataset(ds, key_col: str = "user_id", n_parts: int = 32):
     """Co-partitioned as-of diffs: keys hash into ``n_parts`` partitions
     (process-stable polars hash), ONE groupby("part") shuffle, and each

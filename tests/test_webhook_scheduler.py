@@ -159,3 +159,29 @@ def test_pause_resume_lifecycle():
     st.resume("t1")
     assert st.sync(now=100.0)["triggered"] == 1
     assert st.tasks["t1"].next_execution_at == 110.0
+
+
+def test_monitor_webhook_events(ray_session):
+    """Monitor diffs feed the monitor.* webhook catalog: one check.completed
+    per key, changed -> monitor.changed, price moves -> monitor.price.changed."""
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.monitor import monitor_webhook_events
+
+    t = pa.table(
+        {"user_id": ["u1", "u1", "u2", "u2", "u3"],
+         "changed": [False, True, True, True, False],
+         "change_type": [None, "price_up", "content", "price_down", None]}
+    )
+    events = monitor_webhook_events(t)
+    kinds = [e[0] for e in events]
+    assert kinds.count("monitor.check.completed") == 3
+    assert kinds.count("monitor.price.changed") == 2
+    assert kinds.count("monitor.changed") == 1
+    # deliverable through the S11 sink
+    sub = wh.WebhookSubscription(
+        "m1", "http://x/h",
+        ("monitor.changed", "monitor.price.changed", "monitor.check.completed"),
+    )
+    dt = wh.deliver_events(events, [sub], lambda s, e, i, a: True)
+    assert dt.num_rows == len(events)
