@@ -332,3 +332,15 @@ def test_relaxed_mode_spans_complete(ray_session, small_corpus, tmp_path):
     assert [(s["kind"], s["text"]) for s in by_url[u]] == [
         (s["kind"], s["text"]) for s in ref
     ]
+
+
+def test_conformance_large_waves_multichunk(ray_session, small_corpus):
+    """Byte-for-byte order parity at a scale where speculative dispatch
+    actually splits waves into multiple worker chunks (wave 256 > MIN_CHUNK,
+    4 workers, growing mirror) — the small-wave tests never exercise the
+    multi-chunk mask slicing."""
+    opts = CrawlOptions(limit=180, strategy="all", wave_size=256)
+    assert_conformance(
+        small_corpus, SEED, opts,
+        CrawlRunConfig(n_fetch_workers=4, n_seen_shards=4, executor="pool"),
+    )
