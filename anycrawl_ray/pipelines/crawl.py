@@ -573,10 +573,14 @@ def run_crawl_relaxed(
     IDENTICAL to the conformance mode (tested); the crawl ORDER is
     completion order, which intentionally diverges from the reference's
     wave order — use the default run_crawl when order conformance matters.
-    per-host politeness is not supported in this mode.
+
+    Politeness: ``opts.per_host_cap`` is honored per CHUNK (each dispatch
+    admits at most cap URLs of one host; the rest defer at the frontier
+    head) — best-effort rate shaping, NOT the conformance wave semantics;
+    the actor-based politeness mode is not supported here.
     """
-    if opts.per_host_cap > 0 or cfg.politeness != "driver":
-        raise ValueError("relaxed mode does not support per-host politeness")
+    if cfg.politeness != "driver":
+        raise ValueError("relaxed mode does not support politeness actors")
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
     seen = SeenSet(cfg.n_seen_shards)
     frontier = Frontier(cfg.job_id)
@@ -602,7 +606,9 @@ def run_crawl_relaxed(
 
     def _dispatch_one() -> bool:
         nonlocal dispatched, next_worker, mirror_complete, n_chunks
-        rows = frontier.pop_wave(min(chunk_size, opts.limit - dispatched))
+        rows = frontier.pop_wave(
+            min(chunk_size, opts.limit - dispatched), opts.per_host_cap
+        )
         if not rows:
             return False
         urls = [r[0] for r in rows]

@@ -35,6 +35,8 @@ def main() -> None:
     p.add_argument("--wave-size", type=int, default=1024)
     p.add_argument("--per-host-cap", type=int, default=0)
     p.add_argument("--politeness", default="driver", choices=["driver", "actors"])
+    p.add_argument("--mode", default="conformance", choices=["conformance", "relaxed"],
+                   help="relaxed = pipelined, no wave barrier (order diverges)")
     p.add_argument("--corpus-pages", type=int, default=5000)
     p.add_argument("--workers", type=int, default=0, help="0 = num_cpus-2")
     p.add_argument("--seen-shards", type=int, default=4)
@@ -57,13 +59,19 @@ def main() -> None:
         import pyarrow.parquet as pq
 
         from anycrawl_ray.corpus import CorpusConfig, corpus_path
-        from anycrawl_ray.pipelines.crawl import CrawlRunConfig, run_crawl
+        from anycrawl_ray.pipelines.crawl import (
+            CrawlRunConfig,
+            run_crawl,
+            run_crawl_relaxed,
+        )
         from anycrawl_ray.refmodel import CrawlOptions
 
         cfg = CorpusConfig(n_hosts=16, n_pages=args.corpus_pages)
         corpus = pq.read_table(corpus_path(args.sf_dir, cfg))
         n_workers = args.workers or max(2, args.num_cpus - 2)
-        out = run_crawl(
+        runner = run_crawl_relaxed if args.mode == "relaxed" else run_crawl
+        run_kwargs = {} if args.mode == "relaxed" else {"resume": args.resume}
+        out = runner(
             args.seed,
             CrawlOptions(
                 limit=args.limit,
@@ -82,7 +90,7 @@ def main() -> None:
                 checkpoint_dir=os.path.join(args.out, "checkpoint"),
                 politeness=args.politeness,
             ),
-            resume=args.resume,
+            **run_kwargs,
         )
         # S11: emit the job's webhook transition events to a local sink table
         # (deterministic delivery model — no network in this sandbox)

@@ -259,7 +259,8 @@ def test_relaxed_mode_same_page_set(ray_session, small_corpus):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        run_crawl_relaxed(SEED, CrawlOptions(limit=5, per_host_cap=2), small_corpus)
+        run_crawl_relaxed(SEED, CrawlOptions(limit=5), small_corpus,
+                          CrawlRunConfig(politeness="actors"))
 
 
 def test_format_dag_json_summary_spans(ray_session, small_corpus, tmp_path):
@@ -344,3 +345,32 @@ def test_conformance_large_waves_multichunk(ray_session, small_corpus):
         small_corpus, SEED, opts,
         CrawlRunConfig(n_fetch_workers=4, n_seen_shards=4, executor="pool"),
     )
+
+
+def test_relaxed_mode_per_chunk_politeness(ray_session, small_corpus, tmp_path):
+    """Relaxed mode honors per_host_cap per dispatched CHUNK (best-effort
+    rate shaping): no span round dir — one per chunk — exceeds the cap for
+    any host."""
+    import collections
+    import os
+
+    from anycrawl_ray.pipelines.crawl import run_crawl_relaxed
+    from anycrawl_ray.urlnorm import hostname_of
+
+    d = str(tmp_path / "spans_pol")
+    out = run_crawl_relaxed(
+        SEED, CrawlOptions(limit=60, strategy="all", per_host_cap=2),
+        small_corpus,
+        CrawlRunConfig(n_fetch_workers=2, n_seen_shards=2, spans_out_dir=d,
+                       dataset_batch_size=16),
+    )
+    assert out.completed + out.failed == 60
+    for rd_ in os.listdir(d):
+        t = pq.read_table(os.path.join(d, rd_))
+        counts = collections.Counter(hostname_of(u) for u in t.column("url").to_pylist())
+        assert max(counts.values(), default=0) <= 2, (rd_, counts)
+
+    # politeness actors mode remains unsupported
+    with pytest.raises(ValueError):
+        run_crawl_relaxed(SEED, CrawlOptions(limit=5), small_corpus,
+                          CrawlRunConfig(politeness="actors"))
