@@ -93,7 +93,19 @@ def canonicalize_url(href: str, base: str | None = None) -> str:
         path = parts.path or "/"
         if "/." in path:
             path = _remove_dot_segments(path)
-        return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+        out = urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+        # WHATWG href KEEPS bare '?' / '#' markers (new URL('http://x#').href
+        # is 'http://x/#'); urlunsplit — and urljoin before it — drop empty
+        # components, so recover the markers from the ORIGINAL href (urljoin
+        # never inherits query/fragment from the base) or, for href='',
+        # from the base-as-resolved
+        pre_frag = resolved.split("#", 1)[0]
+        href_pre = href.split("#", 1)[0]
+        if parts.query == "" and (href_pre.endswith("?") or pre_frag.endswith("?")):
+            out = out.replace("#", "?#", 1) if "#" in out else out + "?"
+        if parts.fragment == "" and ("#" in href or "#" in resolved):
+            out += "#"
+        return out
     except ValueError:
         return href
 
