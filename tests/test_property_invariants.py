@@ -1,0 +1,84 @@
+"""Property-based invariants for core state structures (hypothesis)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anycrawl_ray.frontier import Frontier
+from anycrawl_ray.functions.agents import TextChunker
+
+
+# ---------------------------------------------------------------------------
+# Frontier: spilling to parquet segments must NOT change the pop sequence
+# ---------------------------------------------------------------------------
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("push"), st.integers(0, 30)),      # push batch of n urls
+        st.tuples(st.just("pop"), st.integers(1, 40)),       # pop wave of n
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@given(_OPS, st.integers(0, 3))
+@settings(max_examples=120, deadline=None)
+def test_frontier_spill_invariant(ops, cap):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        plain = Frontier("a", spill_threshold=10**9)
+        spilly = Frontier("b", spill_threshold=4, spill_dir=d, segment_rows=3)
+        counter = 0
+        for op, n in ops:
+            if op == "push":
+                urls = [f"http://h{(counter + i) % 5}.t/p/{counter + i}" for i in range(n)]
+                plain.push_rows(urls, [0] * n)
+                spilly.push_rows(urls, [0] * n)
+                counter += n
+            else:
+                a = plain.pop_wave(n, per_host_cap=cap)
+                b = spilly.pop_wave(n, per_host_cap=cap)
+                assert a == b
+            assert len(plain) == len(spilly)
+        # drain fully — remaining order identical
+        while len(plain):
+            assert plain.pop_wave(7, per_host_cap=cap) == spilly.pop_wave(7, per_host_cap=cap)
+        assert len(spilly) == 0
+
+
+# ---------------------------------------------------------------------------
+# TextChunker: token budget respected; full line coverage in order
+# ---------------------------------------------------------------------------
+
+# lines without edge whitespace so chunk.strip() round-trips exactly
+_LINE = st.text(alphabet="abcdefgh", min_size=0, max_size=40).map(
+    lambda x: x.strip()
+)
+_TEXT = st.lists(_LINE, min_size=0, max_size=30).map("\n".join)
+
+
+@given(_TEXT, st.integers(8, 64), st.integers(0, 8))
+@settings(max_examples=200, deadline=None)
+def test_chunker_invariants(text, max_tokens, overlap):
+    ch = TextChunker()
+    chunks = ch.split_text_into_chunks(text, max_tokens, overlap)
+    if not text.strip():
+        assert chunks == []
+        return
+    # budget: the algorithm's own incremental accounting (sum of
+    # counter(line+"\n") over the chunk's NEW lines) never exceeds
+    # max_tokens unless the chunk is a single over-budget line. Only
+    # checkable at overlap=0 where chunks contain no carried lines.
+    if overlap == 0:
+        for c in chunks:
+            lines = [l for l in c.chunk.split("\n") if l]
+            inc = sum(ch.token_counter(l + "\n") for l in lines)
+            assert inc <= max_tokens or len(lines) == 1
+    # concatenation (ignoring overlap repeats) covers every original
+    # non-empty line IN ORDER
+    remaining = [l for l in text.split("\n") if l]
+    for c in chunks:
+        for line in c.chunk.split("\n"):
+            if remaining and line == remaining[0]:
+                remaining.pop(0)
+    assert remaining == []
