@@ -82,3 +82,61 @@ def test_chunker_invariants(text, max_tokens, overlap):
             if remaining and line == remaining[0]:
                 remaining.pop(0)
     assert remaining == []
+
+
+# ---------------------------------------------------------------------------
+# PathMatcher: compiled batch matcher == scalar matches_paths on random
+# url/pattern combinations
+# ---------------------------------------------------------------------------
+
+from anycrawl_ray.pathmatch import PathMatcher, matches_paths
+
+_PAT = st.sampled_from([
+    "http://h*.t/p/*", "*/p/00*", "*[0-4]", "/p\\/\\d+/", "http://h0.t/*",
+    "*sec*", "*", "p/??", "/x$/",
+])
+_URL = st.sampled_from([
+    "http://h0.t/p/0001", "http://h1.t/p/0042#sec1", "http://h0.t/q/9",
+    "http://other.test/p/003", "http://h2.t/", "http://h0.t/p/0001?x=1",
+])
+
+
+@given(st.lists(_PAT, max_size=3), st.lists(_PAT, max_size=3),
+       st.lists(_URL, min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_pathmatcher_batch_equals_scalar(include, exclude, urls):
+    m = PathMatcher(include, exclude)
+    assert list(m.match_many(urls)) == [
+        matches_paths(u, include, exclude) for u in urls
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Seen shard: cuckoo -> bloom spill must never drop or duplicate URLs
+# (first-occurrence-wins semantics identical to a plain Python set)
+# ---------------------------------------------------------------------------
+
+from anycrawl_ray.state.seen import SeenShardCore, stable_hash64
+
+
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=60),
+       st.sampled_from([4, 16, 1 << 18]))
+@settings(max_examples=100, deadline=None)
+def test_seen_shard_matches_python_set(batches_seed, capacity):
+    import numpy as np
+
+    shard = SeenShardCore(0, capacity=capacity)  # tiny capacity forces spill
+    ref: set[str] = set()
+    # group the ints into batches of <=8 urls
+    ints = batches_seed
+    for i in range(0, len(ints), 8):
+        urls = [f"http://h{v % 7}.t/p/{v}" for v in ints[i : i + 8]]
+        mask = shard.check_and_add(urls, stable_hash64(urls))
+        expect = []
+        for u in urls:
+            expect.append(u not in ref)
+            ref.add(u)
+        assert list(mask) == expect
+    probe = [f"http://h{v % 7}.t/p/{v}" for v in range(0, 420, 13)]
+    got = shard.contains(probe, stable_hash64(probe))
+    assert list(got) == [u in ref for u in probe]
