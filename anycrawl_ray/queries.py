@@ -58,6 +58,15 @@ def _round2(t: pa.Table, col: str) -> pa.Table:
     return t.set_column(i, col, pc.round(t.column(col), ndigits=2))
 
 
+def _round6_half_away(x):
+    """Round to 6 decimals HALF AWAY FROM ZERO — DuckDB ROUND's mode.
+    np.round/Python round use banker's rounding, which disagrees on exact
+    .xxxxxx5 ties (found at sf0.1: 9 of 5000 quality scores differed by
+    1e-6); every float-6 column mirrored in SQL must use this."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def _co_partitioned(ds: rd.Dataset, key_col: str, kernel, n_parts: int = 32) -> rd.Dataset:
     """Keyed computation WITHOUT per-group map_groups calls: hash-partition
     rows by key (process-stable polars hash), ONE groupby("part") shuffle,
@@ -308,7 +317,7 @@ def q_language_id(sf_dir: str):
 def q_quality_score(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         texts = t.column("text").combine_chunks()
-        scores = np.round(tx.quality_scores(texts), 6)
+        scores = _round6_half_away(tx.quality_scores(texts))
         return pa.table(
             {"doc_id": t.column("doc_id"), "score": pa.array(scores, pa.float64())}
         )
@@ -403,7 +412,7 @@ def q_ann_cosine(sf_dir: str):
     rows = merger.result()
     return pa.table(
         {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
-         "cos": pa.array([round(r[1], 6) for r in rows], pa.float64())}
+         "cos": pa.array(_round6_half_away([r[1] for r in rows]), pa.float64())}
     )
 
 
@@ -424,7 +433,7 @@ def q_embedding_dedup(sf_dir: str):
         ids_b, mat_b = ray.get(bcast)
         ids_a = t.column("vec_id").to_numpy()
         mat_a = l2_normalize(embedding_matrix(t))
-        sims = np.round(mat_a @ mat_b.T, 6)
+        sims = _round6_half_away(mat_a @ mat_b.T)
         ai, bj = np.where(sims >= 0.4)
         keep = ids_a[ai] < ids_b[bj]
         return pa.table(
@@ -488,7 +497,7 @@ def q_ann_ivf(sf_dir: str):
     rows = merger.result()
     return pa.table(
         {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
-         "cos": pa.array([round(r[1], 6) for r in rows], pa.float64())}
+         "cos": pa.array(_round6_half_away([r[1] for r in rows]), pa.float64())}
     )
 
 
