@@ -55,7 +55,13 @@ def _collect(ds: rd.Dataset) -> pa.Table:
 
 def _round2(t: pa.Table, col: str) -> pa.Table:
     i = t.column_names.index(col)
-    return t.set_column(i, col, pc.round(t.column(col), ndigits=2))
+    # half_towards_infinity == DuckDB ROUND's half-away-from-zero; Arrow's
+    # default half_to_even diverges on exact .xx5 ties (same hazard the
+    # 6-decimal columns hit at sf0.1)
+    return t.set_column(
+        i, col,
+        pc.round(t.column(col), ndigits=2, round_mode="half_towards_infinity"),
+    )
 
 
 def _round6_half_away(x):
