@@ -254,6 +254,74 @@ class _DatasetExecutor:
         pass
 
 
+class _VisitedMirror:
+    """Driver-side exact visited mirror shared by both crawl modes: a Python
+    set (membership updates + shard-fallback bookkeeping) twinned with a
+    polars Utf8 Series for VECTORIZED probes (pl.Series.is_in — exact string
+    equality in one Rust pass instead of ~1M per-link Python set probes per
+    bench crawl). Flips incomplete at ``cap``, after which the seen-set
+    shards are the contains() authority."""
+
+    def __init__(self, cap: int):
+        import polars as pl
+
+        self._pl = pl
+        self.cap = cap
+        self.set: set[str] = set()
+        self.series = pl.Series("u", [], dtype=pl.Utf8)
+        self.complete = True
+
+    def restore(self, urls: list[str]) -> None:
+        self.set.update(urls)
+        self.series.extend(self._pl.Series("u", urls, dtype=self._pl.Utf8))
+
+    def add_new(self, urls: list[str], newly_mask) -> None:
+        if not self.complete:
+            return
+        new_urls = [u for u, is_new in zip(urls, newly_mask) if is_new]
+        self.set.update(new_urls)
+        if len(self.set) > self.cap:
+            self.complete = False  # overflow: shards take over contains()
+            self.set.clear()
+        elif new_urls:
+            self.series.extend(self._pl.Series("u", new_urls, dtype=self._pl.Utf8))
+
+    def not_visited_mask(self, cand_arr, seen: SeenSet) -> np.ndarray:
+        """Vectorized when complete; dedup+shard probe on overflow. Python
+        strings materialize only on the overflow path."""
+        if len(cand_arr) == 0:
+            return np.zeros(0, dtype=bool)
+        if self.complete:
+            return (
+                ~self._pl.from_arrow(cand_arr).is_in(self.series.implode())
+            ).to_numpy()
+        cand = cand_arr.to_pylist()
+        uniq = list(dict.fromkeys(cand))
+        vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
+        vset = {u for u, v in zip(uniq, vis) if v}
+        return np.fromiter((l not in vset for l in cand), bool, len(cand))
+
+
+def _flatten_eligible_links(results: pa.Table, ok_np, depth_np, max_depth: int):
+    """Link expansion prologue shared by both crawl modes: flatten the
+    per-page link lists (eligibility was computed vectorized INSIDE the
+    fetch stage), keep links of live rows (ok, depth under the guard) —
+    order preserved: wave, then document. Returns
+    (cand_arr Arrow, cand_depths, n_links_total)."""
+    nrows = results.num_rows
+    links_arr = results.column("links").combine_chunks()
+    lens = pc.list_value_length(links_arr).to_numpy(zero_copy_only=False)
+    flat_links = pc.list_flatten(links_arr)
+    flat_elig = pc.list_flatten(
+        results.column("links_elig").combine_chunks()
+    ).to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(nrows), lens)
+    row_live = ok_np & (depth_np < max_depth)
+    keep = flat_elig & row_live[row_of]
+    cand_arr = flat_links.filter(pa.array(keep))
+    return cand_arr, depth_np[row_of[keep]], len(flat_links)
+
+
 def make_job_context(seed_url: str, opts: CrawlOptions, cfg: CrawlRunConfig) -> JobContext:
     """The per-job constants broadcast to fetch workers (shared by run_crawl
     and callers that pre-build a worker pool via build_fetch_pool)."""
@@ -321,15 +389,7 @@ def run_crawl(
             burst=float(opts.per_host_cap),
         )
 
-    import polars as pl
-
-    # driver-side visited mirror: a Python set for the per-link slow path
-    # plus a polars string Series for VECTORIZED membership probes
-    # (pl.Series.is_in — exact string equality in one Rust pass instead of
-    # ~1M per-link Python set probes per bench crawl)
-    visited_mirror: set[str] = set()
-    mirror_series = pl.Series("u", [], dtype=pl.Utf8)
-    mirror_complete = True
+    mirror = _VisitedMirror(cfg.visited_mirror_cap)
     start_round = 0
     if resume and cfg.checkpoint_dir and os.path.exists(os.path.join(cfg.checkpoint_dir, "meta.json")):
         start_round = _restore(cfg, seen, frontier, out, counters_rows)
@@ -347,11 +407,9 @@ def run_crawl(
 
         ck_seen = _st.read_table(_st.table_uri(cfg.checkpoint_dir, "seen"))
         if ck_seen.num_rows <= cfg.visited_mirror_cap:
-            restored_urls = ck_seen.column("url").to_pylist()
-            visited_mirror.update(restored_urls)
-            mirror_series.extend(pl.Series("u", restored_urls, dtype=pl.Utf8))
+            mirror.restore(ck_seen.column("url").to_pylist())
         else:
-            mirror_complete = False
+            mirror.complete = False
     else:
         frontier.push(seed, 0, 0)
 
@@ -399,20 +457,6 @@ def run_crawl(
             wave_urls = [w[0] for w in wave]
             out.frontier_ops += 2 * len(wave)  # pops + check_and_add
 
-            def _mirror_update(newly_mask) -> None:
-                nonlocal mirror_complete
-                if not mirror_complete:
-                    return
-                new_urls = [
-                    u for u, is_new in zip(wave_urls, newly_mask) if is_new
-                ]
-                visited_mirror.update(new_urls)
-                if len(visited_mirror) > cfg.visited_mirror_cap:
-                    mirror_complete = False  # overflow: shards take over contains()
-                    visited_mirror.clear()
-                elif new_urls:
-                    mirror_series.extend(pl.Series("u", new_urls, dtype=pl.Utf8))
-
             speculative = cfg.speculative_seen and isinstance(executor, _PoolExecutor)
             if speculative:
                 # dispatch the FULL wave with the pending mask ref; workers
@@ -431,12 +475,12 @@ def run_crawl(
                 _t = _tick("seen_add", _t)
                 refs = executor.dispatch(wave_table, round_no, mask_ref)
                 newly = ray.get(mask_ref)
-                _mirror_update(newly)
+                mirror.add_new(wave_urls, newly)
                 results = executor.collect(refs)  # sorted by wave pos
                 _t = _tick("fetch", _t)
             else:
                 newly = seen.check_and_add(wave_urls)
-                _mirror_update(newly)
+                mirror.add_new(wave_urls, newly)
                 fetch_idx = np.flatnonzero(newly)
                 wave_table = pa.Table.from_pydict(
                     {
@@ -471,56 +515,27 @@ def run_crawl(
                 )
 
             # link expansion, wave order then document order (coordinator
-            # :103-117). Strategy/path/robots eligibility was computed
-            # vectorized INSIDE the fetch stage (links_elig); here only
-            # visited + the growing-pending limit remain. Candidate masks are
-            # computed in Arrow/numpy over the flattened link list; Python
-            # strings materialize ONLY for surviving links.
-            links_arr = results.column("links").combine_chunks() if nrows else None
-            if nrows:
-                lens = pc.list_value_length(links_arr).to_numpy(zero_copy_only=False)
-                flat_links = pc.list_flatten(links_arr)
-                flat_elig = pc.list_flatten(
-                    results.column("links_elig").combine_chunks()
-                ).to_numpy(zero_copy_only=False)
-                row_of = np.repeat(np.arange(nrows), lens)
-                n_links_total = len(flat_links)
-            else:
-                n_links_total = 0
-            _t = _tick("meta_cols", _t)
-            out.frontier_ops += n_links_total  # membership probes
-            enq_delta = 0
-            # single vectorized link-push path (order preserved: wave, then
-            # document). The coordinator's growing-pending budget check
+            # :103-117): flatten + live-row filter shared with relaxed mode
+            # (_flatten_eligible_links); here only the visited probe + the
+            # growing-pending limit remain. The coordinator's budget check
             # (:108-112 — len(pending) grows as pushed, completed/failed
             # fixed within the wave) is exactly "accept the first K eligible
             # non-visited links in order" with K = limit - done - pending:
             # once the running count reaches the limit no later push in the
             # wave can succeed, so first-K is byte-equivalent to the loop.
+            enq_delta = 0
             if nrows:
+                cand_arr, cand_depths, n_links_total = _flatten_eligible_links(
+                    results, ok_np, depth_np, opts.max_depth
+                )
+                out.frontier_ops += n_links_total  # membership probes
+                _t = _tick("meta_cols", _t)
                 budget = opts.limit - out.completed - out.failed - len(frontier)
-                row_live = ok_np & (depth_np < opts.max_depth)
-                keep = flat_elig & row_live[row_of]
-                cand_arr = flat_links.filter(pa.array(keep))  # stays Arrow
-                cand_rows = row_of[keep]
-                if len(cand_arr) == 0:
-                    not_vis = np.zeros(0, dtype=bool)
-                elif mirror_complete:
-                    # zero-copy Arrow -> polars; exact vectorized membership —
-                    # Python strings materialize only for ACCEPTED links below
-                    not_vis = (
-                        ~pl.from_arrow(cand_arr).is_in(mirror_series.implode())
-                    ).to_numpy()
-                else:
-                    cand = cand_arr.to_pylist()
-                    uniq = list(dict.fromkeys(cand))
-                    vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
-                    vset = {u for u, v in zip(uniq, vis) if v}
-                    not_vis = np.fromiter((l not in vset for l in cand), bool, len(cand))
+                not_vis = mirror.not_visited_mask(cand_arr, seen)
                 _t = _tick("visited_probe", _t)
                 sel = np.flatnonzero(not_vis)[: max(0, budget)]
                 accepted = cand_arr.take(pa.array(sel)).to_pylist()
-                frontier.push_rows(accepted, depth_np[cand_rows[sel]] + 1)
+                frontier.push_rows(accepted, cand_depths[sel] + 1)
                 enq_delta = len(accepted)
                 out.frontier_ops += enq_delta
 
@@ -592,11 +607,7 @@ def run_crawl_relaxed(
     if owns_executor:
         executor = _PoolExecutor(corpus_ref, cfg.n_fetch_workers, ctx)
 
-    import polars as pl
-
-    visited_mirror: set[str] = set()
-    mirror_series = pl.Series("u", [], dtype=pl.Utf8)
-    mirror_complete = True
+    mirror = _VisitedMirror(cfg.visited_mirror_cap)
     chunk_size = max(_PoolExecutor.MIN_CHUNK, cfg.dataset_batch_size)
     frontier.push(ctx.seed, 0, 0)
     dispatched = 0
@@ -605,7 +616,7 @@ def run_crawl_relaxed(
     in_flight: dict = {}  # ref -> nrows
 
     def _dispatch_one() -> bool:
-        nonlocal dispatched, next_worker, mirror_complete, n_chunks
+        nonlocal dispatched, next_worker, n_chunks
         rows = frontier.pop_wave(
             min(chunk_size, opts.limit - dispatched), opts.per_host_cap
         )
@@ -614,14 +625,7 @@ def run_crawl_relaxed(
         urls = [r[0] for r in rows]
         newly = seen.check_and_add(urls)
         out.frontier_ops += 2 * len(rows)
-        if mirror_complete:
-            new_urls = [u for u, n in zip(urls, newly) if n]
-            visited_mirror.update(new_urls)
-            if len(visited_mirror) > cfg.visited_mirror_cap:
-                mirror_complete = False
-                visited_mirror.clear()
-            elif new_urls:
-                mirror_series.extend(pl.Series("u", new_urls, dtype=pl.Utf8))
+        mirror.add_new(urls, newly)
         idx = np.flatnonzero(newly)
         if len(idx) == 0:
             return True  # all lazy dups; nothing to fetch, keep pumping
@@ -646,7 +650,6 @@ def run_crawl_relaxed(
         return True
 
     def _process(results: pa.Table) -> None:
-        nonlocal mirror_complete
         nrows = results.num_rows
         if nrows == 0:
             return
@@ -664,31 +667,14 @@ def run_crawl_relaxed(
             {"job_id": cfg.job_id, "round": out.rounds, "partition_id": 0,
              "enqueued": 0, "done": nrows, "succeeded": n_ok, "failed": nrows - n_ok}
         )
-        links_arr = results.column("links").combine_chunks()
-        lens = pc.list_value_length(links_arr).to_numpy(zero_copy_only=False)
-        flat_links = pc.list_flatten(links_arr)
-        flat_elig = pc.list_flatten(
-            results.column("links_elig").combine_chunks()
-        ).to_numpy(zero_copy_only=False)
-        row_of = np.repeat(np.arange(nrows), lens)
-        out.frontier_ops += len(flat_links)
-        row_live = ok_np & (depth_np < opts.max_depth)
-        keep = flat_elig & row_live[row_of]
-        cand_arr = flat_links.filter(pa.array(keep))
-        cand_rows = row_of[keep]
-        if len(cand_arr) == 0:
-            return
-        if mirror_complete:
-            not_vis = (~pl.from_arrow(cand_arr).is_in(mirror_series.implode())).to_numpy()
-        else:
-            cand = cand_arr.to_pylist()
-            uniq = list(dict.fromkeys(cand))
-            vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
-            vset = {u for u, v in zip(uniq, vis) if v}
-            not_vis = np.fromiter((l not in vset for l in cand), bool, len(cand))
+        cand_arr, cand_depths, n_links_total = _flatten_eligible_links(
+            results, ok_np, depth_np, opts.max_depth
+        )
+        out.frontier_ops += n_links_total
+        not_vis = mirror.not_visited_mask(cand_arr, seen)
         sel = np.flatnonzero(not_vis)
         accepted = cand_arr.take(pa.array(sel)).to_pylist()
-        frontier.push_rows(accepted, depth_np[cand_rows[sel]] + 1)
+        frontier.push_rows(accepted, cand_depths[sel] + 1)
         out.frontier_ops += len(accepted)
 
     try:

@@ -374,3 +374,32 @@ def test_relaxed_mode_per_chunk_politeness(ray_session, small_corpus, tmp_path):
     with pytest.raises(ValueError):
         run_crawl_relaxed(SEED, CrawlOptions(limit=5), small_corpus,
                           CrawlRunConfig(politeness="actors"))
+
+
+def test_conformance_randomized_option_matrix(ray_session, small_corpus):
+    """Seeded random sample of option COMBINATIONS (strategy x depth x limit
+    x wave x filters x politeness together) — interactions the single-axis
+    tests never exercise."""
+    import random
+
+    rng = random.Random(20260817)
+    strategies = ["all", "same-domain", "same-origin"]
+    seeds = [SEED, "http://h02.example.test/p/0001"]
+    includes = [(), ("http://h0*.example.test/p/*",), (r"/p\/00\d\d/",)]
+    excludes = [(), ("http://h00.example.test/p/000[5-9]*",)]
+    for _ in range(10):
+        opts = CrawlOptions(
+            limit=rng.choice([5, 17, 40]),
+            strategy=rng.choice(strategies),
+            max_depth=rng.choice([1, 3, 50]),
+            wave_size=rng.choice([2, 5, 13, 64]),
+            per_host_cap=rng.choice([0, 0, 2]),
+            include_paths=rng.choice(includes),
+            exclude_paths=rng.choice(excludes),
+        )
+        cfg = CrawlRunConfig(
+            n_fetch_workers=rng.choice([1, 2, 3]),
+            n_seen_shards=rng.choice([1, 2, 4]),
+            visited_mirror_cap=rng.choice([10_000_000, 7]),
+        )
+        assert_conformance(small_corpus, rng.choice(seeds), opts, cfg)
