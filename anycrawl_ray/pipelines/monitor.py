@@ -56,18 +56,20 @@ def snapshot_changes(group: pd.DataFrame, content_col: str = "props",
 
 def monitor_webhook_events(diff_table, key_col: str = "user_id"):
     """Map changed snapshots to the reference's monitor webhook event types
-    (WebhookEvents.ts monitor.* catalog; MonitorPostProcessor triggers
-    monitor.changed / monitor.price.changed per detected change):
-    price_up/price_down -> monitor.price.changed, other changes ->
-    monitor.changed, plus one monitor.check.completed per monitored key.
-    Returns (event_type, event_source, source_id) triples for
-    functions/webhook.deliver_events."""
+    (WebhookEvents.ts monitor.* catalog; MonitorPostProcessor:140-143 fires
+    _notify when a check found changes and a "check completed, no changes"
+    summary otherwise): price_up/price_down -> monitor.price.changed, other
+    changes -> monitor.changed; keys whose check found NOTHING emit one
+    monitor.check.completed summary. Returns (event_type, event_source,
+    source_id) triples for functions/webhook.deliver_events."""
     events: list[tuple[str, str, str]] = []
     keys = diff_table.column(key_col).to_pylist()
     changed = diff_table.column("changed").to_pylist()
     ctypes = diff_table.column("change_type").to_pylist()
-    for k in dict.fromkeys(keys):  # one check-completed per key, first-seen order
-        events.append(("monitor.check.completed", "monitor", str(k)))
+    changed_keys = {k for k, ch in zip(keys, changed) if ch}
+    for k in dict.fromkeys(keys):  # first-seen order
+        if k not in changed_keys:
+            events.append(("monitor.check.completed", "monitor", str(k)))
     for k, ch, ct in zip(keys, changed, ctypes):
         if not ch:
             continue

@@ -175,7 +175,10 @@ def test_monitor_webhook_events(ray_session):
     )
     events = monitor_webhook_events(t)
     kinds = [e[0] for e in events]
-    assert kinds.count("monitor.check.completed") == 3
+    # check-completed fires only as the NO-changes summary (u3); changed
+    # keys notify their changes instead (MonitorPostProcessor:140-143)
+    assert kinds.count("monitor.check.completed") == 1
+    assert ("monitor.check.completed", "monitor", "u3") in events
     assert kinds.count("monitor.price.changed") == 2
     assert kinds.count("monitor.changed") == 1
     # deliverable through the S11 sink
