@@ -200,6 +200,58 @@ def inject_ocr_blocks(markdown: str, ocr_by_url: dict[str, str]) -> str:
     return "".join(out)
 
 
+def extract_formats(
+    url: str,
+    html: str,
+    formats: list[str] | tuple[str, ...],
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
+    only_main_content: bool = True,
+) -> dict:
+    """Scrape-format DAG (reference DataExtractor.ts extractData :437-586):
+    title/metadata always; ``html`` = the selector-driven transform (M3,
+    functions/htmltransform.py) with URL absolutization; ``markdown`` =
+    processMarkdown over that transformed HTML (:473-482); ``rawHtml`` the
+    original; ``text`` = visible text of the RAW html (:487-488); ``links`` =
+    absolutized a[href] targets of the raw document (:490-494).
+
+    Pure per-row function for map_batches (the crawl DAG's span path covers
+    json/summary; this is the scrape surface)."""
+    from .htmltransform import resolve_url, select, transform_html
+    from .serp import parse_html as _parse
+
+    base = extract_base_content(url, html)
+    out: dict = {"title": base["title"], "metadata": extract_metadata(html)}
+    needs_html = any(f in formats for f in ("html", "markdown", "json", "summary"))
+    transformed = None
+    if needs_html:
+        transformed = transform_html(
+            html,
+            base_url=url,
+            include_tags=include_tags,
+            exclude_tags=exclude_tags,
+            only_main_content=only_main_content,
+        )
+    if "html" in formats:
+        out["html"] = transformed
+    if "markdown" in formats or "json" in formats or "summary" in formats:
+        md, used_fallback = process_markdown(html, transformed)
+        out["markdown"] = md
+        out["markdown_used_fallback"] = used_fallback
+    if "rawHtml" in formats:
+        out["rawHtml"] = html
+    if "text" in formats:
+        out["text"] = html_to_text(html)
+    if "links" in formats:
+        root = _parse(html)
+        out["links"] = [
+            resolve_url(url, a.attrs["href"])
+            for a in select(root, "a[href]")
+            if a.attrs.get("href")
+        ]
+    return out
+
+
 def should_scrape_url(url: str, scrape_paths: list[str] | tuple[str, ...]) -> bool:
     """M12: content emitted only for matching URLs; link expansion continues
     regardless (reference engines/Base.ts:517-554). Empty list -> scrape all."""

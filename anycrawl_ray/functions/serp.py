@@ -79,8 +79,18 @@ class _TreeBuilder(HTMLParser):
         self.cur.content.append(("t", data))
 
 
-def parse_html(html: str) -> _Node:
-    b = _TreeBuilder()
+class _CommentTreeBuilder(_TreeBuilder):
+    """Tree builder that also records comments as ("c", text) content entries
+    (needed by the HTML transformer, which must strip them from the cleaned
+    output but keep them inside include_tags clones — HTMLTransformer.ts
+    doExtractCleanHtml comment filter)."""
+
+    def handle_comment(self, data):
+        self.cur.content.append(("c", data))
+
+
+def parse_html(html: str, keep_comments: bool = False) -> _Node:
+    b = _CommentTreeBuilder() if keep_comments else _TreeBuilder()
     b.feed(html)
     return b.root
 

@@ -603,6 +603,56 @@ def q_part_type_stats(sf_dir: str):
     return _round2(t, "total_price").sort_by("p_brand")
 
 
+def q_html_transform(sf_dir: str):
+    """M3 oracle entry: the selector-driven HTML transform
+    (functions/htmltransform.py, HTMLTransformer.ts:176-270) over
+    deterministic chrome+article pages synthesized from documents rows, with
+    the option matrix cycled by doc_id%4 — (0) only_main_content default,
+    (1) include_tags, (2) exclude_tags with filter off, (3) filter off —
+    and relative-link absolutization in every case. The DuckDB oracle builds
+    each expected output string closed-form."""
+    from .functions.htmltransform import transform_html
+    from .functions.normalize import hash_content_md5
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        sources = t.column("source").to_pylist()
+        cases, hashes = [], []
+        for i, s, x in zip(ids, sources, texts):
+            html = (
+                f"<header>chrome {i}</header><nav>n</nav>"
+                f'<article><h1>{s}</h1><p>{x}</p><a href="/p/{i}">l</a></article>'
+                f'<div class="x">x{i}</div><footer>f</footer>'
+            )
+            base = f"https://site{i % 7}.test/a/b"
+            case = i % 4
+            if case == 0:
+                out = transform_html(html, base_url=base)
+            elif case == 1:
+                out = transform_html(html, base_url=base, include_tags=["article"])
+            elif case == 2:
+                out = transform_html(
+                    html, base_url=base, exclude_tags=[".x"], only_main_content=False
+                )
+            else:
+                out = transform_html(html, base_url=base, only_main_content=False)
+            cases.append(case)
+            hashes.append(hash_content_md5(out))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tcase": pa.array(cases, pa.int64()),
+                "t_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return _collect(ds.map_batches(f, batch_format="pyarrow", batch_size=2048)).sort_by(
+        "doc_id"
+    )
+
+
 def q_html_markdown(sf_dir: str):
     """M4 oracle entry: structurally rich deterministic HTML synthesized from
     documents rows — heading, nested div>p, fenced code block with language
@@ -1271,6 +1321,7 @@ def build_queries() -> dict[str, Callable]:
         "supplier_geo": q_supplier_geo,
         "part_type_stats": q_part_type_stats,
         "html_markdown": q_html_markdown,
+        "html_transform": q_html_transform,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "daily_active_users": q_daily_active_users,
@@ -1447,6 +1498,26 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
                    MAX(p_size) AS max_size, ROUND(SUM(p_retailprice), 2) AS total_price
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "html_transform": """
+            WITH base AS (
+                SELECT doc_id, doc_id % 4 AS tcase,
+                       '<article><h1>' || source || '</h1><p>' || text ||
+                       '</p><a href="https://site' || (doc_id % 7) ||
+                       '.test/p/' || doc_id || '">l</a></article>' AS art,
+                       '<header>chrome ' || doc_id ||
+                       '</header><nav>n</nav>' AS chrome,
+                       '<div class="x">x' || doc_id || '</div>' AS xdiv
+                FROM documents
+            )
+            SELECT doc_id, tcase,
+                   md5(CASE tcase
+                       WHEN 0 THEN art || xdiv
+                       WHEN 1 THEN art
+                       WHEN 2 THEN chrome || art || '<footer>f</footer>'
+                       ELSE chrome || art || xdiv || '<footer>f</footer>'
+                   END) AS t_hash
+            FROM base ORDER BY doc_id
         """,
         "html_markdown": r"""
             SELECT doc_id,
