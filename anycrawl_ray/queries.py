@@ -653,6 +653,76 @@ def q_html_transform(sf_dir: str):
     )
 
 
+def q_template_render(sf_dir: str):
+    """Templates-surface oracle entry (functions/templates.py): per-doc
+    templated scrape requests run the full merge pipeline — variable
+    validation, defaultValue fill, mapping injection, option merge,
+    ``{{ slug | path }}``/``{{ page }}`` URL rendering — then the rendered
+    URL goes through glob domain validation (``*.shop.test``). Every branch
+    is closed-form in doc_id, so DuckDB mirrors it exactly."""
+    from .functions.templates import (
+        TemplateConfig,
+        TemplateStore,
+        merge_request_with_template,
+        process_template,
+    )
+
+    def make_store() -> TemplateStore:
+        s = TemplateStore()
+        s.put(
+            TemplateConfig(
+                template_id="tp",
+                template_type="scrape",
+                req_options={"engine": "cheerio", "timeout": 5000},
+                variables={
+                    "slug": {
+                        "type": "string",
+                        "required": True,
+                        "mapping": {"target": "options.slug"},
+                    },
+                    "page": {"type": "number", "defaultValue": 1},
+                },
+                allowed_domains={"type": "glob", "patterns": ["*.shop.test"]},
+            )
+        )
+        return s
+
+    def f(t: pa.Table) -> pa.Table:
+        store = make_store()
+        ids = t.column("doc_id").to_pylist()
+        urls, engines, timeouts, ok = [], [], [], []
+        for i in ids:
+            host = "evil.test" if i % 11 == 0 else f"w{i % 5}.shop.test"
+            variables: dict = {"slug": f"a/b {i}"}
+            if i % 3 == 0:
+                variables["page"] = i % 7
+            req = {
+                "template_id": "tp",
+                "url": f"https://{host}/item/{{{{ slug | path }}}}?p={{{{ page }}}}",
+                "variables": variables,
+            }
+            merged = merge_request_with_template(store, req, "scrape")
+            pr = process_template(store, "tp", merged["url"], {}, "scrape")
+            urls.append(merged["url"])
+            engines.append(merged["engine"])
+            timeouts.append(merged["timeout"])
+            ok.append(pr["success"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "engine": pa.array(engines, pa.string()),
+                "timeout": pa.array(timeouts, pa.int64()),
+                "domain_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _collect(ds.map_batches(f, batch_format="pyarrow", batch_size=4096)).sort_by(
+        "doc_id"
+    )
+
+
 def q_html_markdown(sf_dir: str):
     """M4 oracle entry: structurally rich deterministic HTML synthesized from
     documents rows — heading, nested div>p, fenced code block with language
@@ -1322,6 +1392,7 @@ def build_queries() -> dict[str, Callable]:
         "part_type_stats": q_part_type_stats,
         "html_markdown": q_html_markdown,
         "html_transform": q_html_transform,
+        "template_render": q_template_render,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "daily_active_users": q_daily_active_users,
@@ -1498,6 +1569,18 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
                    MAX(p_size) AS max_size, ROUND(SUM(p_retailprice), 2) AS total_price
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "template_render": """
+            SELECT doc_id,
+                   'https://' ||
+                   CASE WHEN doc_id % 11 = 0 THEN 'evil.test'
+                        ELSE 'w' || (doc_id % 5) || '.shop.test' END ||
+                   '/item/a/b%20' || doc_id || '?p=' ||
+                   CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 ELSE 1 END AS url,
+                   'cheerio' AS engine,
+                   CAST(5000 AS BIGINT) AS timeout,
+                   (doc_id % 11 <> 0) AS domain_ok
+            FROM documents ORDER BY doc_id
         """,
         "html_transform": """
             WITH base AS (

@@ -97,7 +97,8 @@ SQL_CHECKED = [
     "topk_docs", "pagination", "filter_strategy", "token_count", "language_id",
     "quality_score", "normalize_hash", "length_stats", "lineitem_pricing",
     "events_daily", "ann_cosine", "embedding_dedup", "supplier_geo",
-    "part_type_stats", "html_markdown", "html_transform", "sessionize",
+    "part_type_stats", "html_markdown", "html_transform", "template_render",
+    "sessionize",
     "topk_per_group",
     "daily_active_users", "webhook_events", "revenue_topk",
     "customers_no_orders", "events_value_stats", "scheduler_executions",
