@@ -653,6 +653,63 @@ def q_html_transform(sf_dir: str):
     )
 
 
+def q_session_pool(sf_dir: str):
+    """T2 oracle entry (state/sessions.py): per-host session lifecycle with
+    maxErrorScore=1, blocked-codes [401,429] (403 excluded but still rotating
+    via markBad), session->proxy binding through the base-tier rotation.
+    Requests synthesize from documents: host = doc_id%4, per-host request
+    index j = doc_id//4 cycles statuses [200,401,200,403,200,429,500,200] so
+    every error class appears and no session reaches maxUsageCount. The
+    session id a request sees = number of prior errors on its host (every
+    4xx/5xx kills a maxErrorScore-1 session), which DuckDB mirrors with one
+    window sum. Distribution: ONE hash-partition shuffle on host, then the
+    real SessionPool state machine runs per host inside the partition."""
+    import polars as pl
+
+    from .functions.proxy import ProxyRotator
+    from .state.sessions import SessionPool
+
+    BASE = ["http://b1", "http://b2", "http://b3"]
+    STATUSES = [200, 401, 200, 403, 200, 429, 500, 200]
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        host = pc.binary_join_element_wise(
+            "h", pa.array((ids % 4).astype("U1")), ""
+        )
+        status = pa.array(np.array(STATUSES, np.int64)[(ids // 4) % 8])
+        return pa.table({"doc_id": t.column("doc_id"), "host": host, "status": status})
+
+    def kernel(df: pl.DataFrame) -> pl.DataFrame:
+        rows = []
+        for (host,), sub in df.sort("doc_id").group_by("host", maintain_order=True):
+            pool = SessionPool(proxy_mode="base", rotator=ProxyRotator(base_urls=BASE))
+            for i, st in zip(sub["doc_id"], sub["status"]):
+                r = pool.use(host, int(st))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "host": host,
+                        "session_id": r["session_id"],
+                        "proxy": r["proxy"],
+                        "status": int(st),
+                        "retired": r["retired"],
+                    }
+                )
+        return pl.DataFrame(
+            rows,
+            schema={
+                "doc_id": pl.Int64, "host": pl.String, "session_id": pl.Int64,
+                "proxy": pl.String, "status": pl.Int64, "retired": pl.Boolean,
+            },
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return _collect(_co_partitioned(ds, "host", kernel)).sort_by("doc_id")
+
+
 def q_template_render(sf_dir: str):
     """Templates-surface oracle entry (functions/templates.py): per-doc
     templated scrape requests run the full merge pipeline — variable
@@ -1393,6 +1450,7 @@ def build_queries() -> dict[str, Callable]:
         "html_markdown": q_html_markdown,
         "html_transform": q_html_transform,
         "template_render": q_template_render,
+        "session_pool": q_session_pool,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "daily_active_users": q_daily_active_users,
@@ -1569,6 +1627,28 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
                    MAX(p_size) AS max_size, ROUND(SUM(p_retailprice), 2) AS total_price
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "session_pool": """
+            WITH req AS (
+                SELECT doc_id, 'h' || (doc_id % 4) AS host,
+                       CASE (doc_id // 4) % 8
+                           WHEN 1 THEN 401 WHEN 3 THEN 403
+                           WHEN 5 THEN 429 WHEN 6 THEN 500 ELSE 200
+                       END AS status
+                FROM documents
+            ), epoch AS (
+                SELECT doc_id, host, status,
+                       COALESCE(SUM(CASE WHEN status >= 400 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS session_id
+                FROM req
+            )
+            SELECT doc_id, host, CAST(session_id AS BIGINT) AS session_id,
+                   'http://b' || (session_id % 3 + 1) AS proxy,
+                   CAST(status AS BIGINT) AS status,
+                   (status >= 400) AS retired
+            FROM epoch ORDER BY doc_id
         """,
         "template_render": """
             SELECT doc_id,

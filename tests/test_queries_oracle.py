@@ -98,6 +98,7 @@ SQL_CHECKED = [
     "quality_score", "normalize_hash", "length_stats", "lineitem_pricing",
     "events_daily", "ann_cosine", "embedding_dedup", "supplier_geo",
     "part_type_stats", "html_markdown", "html_transform", "template_render",
+    "session_pool",
     "sessionize",
     "topk_per_group",
     "daily_active_users", "webhook_events", "revenue_topk",
