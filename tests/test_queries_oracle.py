@@ -130,7 +130,7 @@ def test_rows_only(registry, name):
     assert name in queries and name not in oracles
     df = _to_pandas(queries[name](SF_DIR))
     assert len(df.columns) > 0
-    if name in ("minhash_dedup", "simhash_dedup", "embedding_dedup_lsh"):
+    if name in ("minhash_dedup", "simhash_dedup"):
         return  # may legitimately be empty on a no-dup corpus
     assert len(df) > 0, f"{name} returned no rows"
 
