@@ -1,0 +1,206 @@
+"""Multi-engine SERP registry (VERDICT r2 Missing #5).
+
+Re-implements the reference's SearchEngine interface and engine selection:
+
+- ``SearchEngine`` protocol: build_task -> {url, headers, cookies,
+  require_proxy}, parse(payload) -> result dicts, supports_direct_limit
+  (packages/search/src/engines/types.ts:52-81)
+- Google engine: HTML parser (functions/serp.py) + search-URL subset
+  (q / start / hl; the region/subdomain tables of Google.ts:72-140 are
+  config data, not logic — documented simplification), requireProxy=true
+  (Google.ts:183-189)
+- SearXNG engine: JSON response parser with web/images/news categories,
+  resolution "WxH" parsing, ``SearXNG ({engine})`` source naming,
+  no-URL skip; search URL with q/format=json/pageno/language/categories/
+  time_range/safesearch; requireProxy=false
+  (packages/search/src/engines/Searxng.ts:38-181)
+- engine registry + name resolution: default fallback for empty/'default'/
+  unavailable names, single-enabled-engine forcing, enabled-list gating,
+  instance caching (packages/search/src/SearchService.ts:117-198)
+- effective pages: direct-limit engines take 1 request; others
+  ceil(limit/10) (SearchService.ts:219-231), composing with the existing
+  pagination math in functions/serp.py
+
+All parsing is pure per-row (fixture-backed in this sandbox — no network),
+so engines plug into the same map_batches SERP stage."""
+
+from __future__ import annotations
+
+import json
+import re
+from urllib.parse import urlencode
+
+from .serp import parse_serp
+
+_RESOLUTION_RE = re.compile(r"(\d+)\s*[×x]\s*(\d+)")
+
+
+class GoogleSearchEngine:
+    name = "google"
+    supports_direct_limit = False
+
+    def build_task(self, options: dict) -> dict:
+        page = options.get("page", 1)
+        params = {"q": options["query"], "start": str((page - 1) * 10)}
+        if options.get("lang"):
+            params["hl"] = options["lang"]
+        return {
+            "url": f"https://www.google.com/search?{urlencode(params)}",
+            "headers": {"Accept": "text/html"},
+            "cookies": {"CONSENT": "PENDING+987"},
+            "require_proxy": True,
+        }
+
+    def parse(self, payload: str, request=None) -> list[dict]:
+        return parse_serp(payload)
+
+
+class SearxngSearchEngine:
+    name = "searxng"
+    supports_direct_limit = False
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def build_task(self, options: dict) -> dict:
+        params = [
+            ("q", options["query"]),
+            ("format", "json"),
+            ("pageno", str(options.get("page", 1))),
+        ]
+        if options.get("lang"):
+            params.append(("language", options["lang"]))
+        sources = options.get("sources")
+        if sources:
+            cat = {"web": "general", "images": "images", "news": "news"}.get(sources)
+            if cat:
+                params.append(("categories", cat))
+        elif options.get("categories"):
+            params.append(("categories", options["categories"]))
+        if options.get("timeRange"):
+            params.append(("time_range", options["timeRange"]))
+        if options.get("safe_search") is not None:
+            params.append(("safesearch", str(options["safe_search"])))
+        return {
+            "url": f"{self.base_url}/search?{urlencode(params)}",
+            "headers": {"Accept": "application/json"},
+            "cookies": {},
+            "require_proxy": False,
+        }
+
+    def parse(self, payload, request=None) -> list[dict]:
+        try:
+            data = json.loads(payload) if isinstance(payload, str) else payload
+        except (json.JSONDecodeError, TypeError):
+            return []
+        out: list[dict] = []
+        for item in data.get("results") or []:
+            if not item.get("url"):
+                continue  # suggestions etc.
+            category = item.get("category") or "web"
+            source = f"SearXNG ({item.get('engine') or 'unknown'})"
+            base = {
+                "title": item.get("title") or "",
+                "url": item["url"],
+                "description": item.get("content") or item.get("snippet") or "",
+                "source": source,
+            }
+            if category == "images":
+                w = h = None
+                if item.get("resolution"):
+                    m = _RESOLUTION_RE.search(item["resolution"])
+                    if m:
+                        w, h = int(m.group(1)), int(m.group(2))
+                positions = item.get("positions")
+                out.append(
+                    {
+                        **base,
+                        "category": "images",
+                        "imageUrl": item.get("img_src"),
+                        "imageWidth": w,
+                        "imageHeight": h,
+                        "position": positions[0]
+                        if isinstance(positions, list) and positions
+                        else None,
+                        "thumbnail_src": item.get("thumbnail_src"),
+                        "img_format": item.get("img_format"),
+                        "filesize": item.get("filesize"),
+                    }
+                )
+            elif category == "news":
+                out.append(
+                    {
+                        **base,
+                        "category": "news",
+                        "snippet": base["description"],
+                        "date": item.get("publishedDate") or item.get("pubdate"),
+                        "imageUrl": item.get("thumbnail") or None,
+                    }
+                )
+            else:
+                out.append({**base, "category": "web"})
+        return out
+
+
+class SearchEngineRegistry:
+    """Engine selection + caching (SearchService.ts:117-198)."""
+
+    def __init__(
+        self,
+        default_engine: str = "google",
+        enabled_engines: tuple = (),
+        searxng_url: str | None = None,
+    ):
+        self.default_engine = default_engine.lower()
+        self.enabled_engines = tuple(e.lower() for e in enabled_engines)
+        self.searxng_url = searxng_url
+        self._cache: dict[str, object] = {}
+
+    def _create(self, name: str):
+        if name == "google":
+            return GoogleSearchEngine()
+        if name == "searxng":
+            if not self.searxng_url:
+                raise ValueError(
+                    "SearXNG engine is not available: searxng_url is not configured"
+                )
+            return SearxngSearchEngine(self.searxng_url)
+        raise ValueError(f"Unknown engine type: {name}")
+
+    def _is_valid(self, name: str) -> bool:
+        if name == "google":
+            return True
+        if name == "searxng":
+            return bool(self.searxng_url)
+        return False
+
+    def resolve_engine_name(self, requested: str | None) -> str:
+        name = (requested or "").lower().strip()
+        if not name or name == "default" or not self._is_valid(name):
+            return self.default_engine
+        if self.enabled_engines:
+            if len(self.enabled_engines) == 1:
+                return self.enabled_engines[0]  # single-engine forcing
+            if name in self.enabled_engines:
+                return name
+            return self.default_engine
+        return name
+
+    def get_engine(self, requested: str | None):
+        name = self.resolve_engine_name(requested)
+        if name not in self._cache:
+            self._cache[name] = self._create(name)
+        return self._cache[name]
+
+    @staticmethod
+    def effective_pages(engine, options: dict, per_page: int = 10,
+                        max_pages: int = 20) -> int:
+        """SearchService.ts:219-231: direct-limit engines take one request;
+        others page by perPage (capped like functions/serp.effective_pages)."""
+        pages = options.get("pages") or 1
+        limit = options.get("limit")
+        if isinstance(limit, (int, float)) and limit > 0:
+            if getattr(engine, "supports_direct_limit", False):
+                return 1
+            pages = -(-int(limit) // per_page)
+        return min(max(1, pages), max_pages)

@@ -19,6 +19,7 @@ Ray style notes (why each looks the way it does):
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable
 
@@ -1126,22 +1127,58 @@ def q_media_features(sf_dir: str):
 
 
 def q_serp_parse(sf_dir: str):
-    """M15: SERP parse over a deterministic fixture page set."""
-    from .functions.serp import parse_serp, reassemble_pages
+    """M15 + multi-engine registry: the same deterministic result set parsed
+    through BOTH registered engines — Google (fixture HTML) and SearXNG
+    (fixture JSON) — reassembled with the shared pagination math; one row
+    per (engine, result)."""
+    from .functions.search_engines import SearchEngineRegistry
+    from .functions.serp import reassemble_pages
 
-    pages = []
-    for p in range(3):
-        blocks = "".join(
-            f'<div jscontroller="SC7lYd"><a href="http://r.test/{p}/{i}"><h3>R {p}-{i}</h3></a>'
-            f'<div data-sncf="1">desc {p}-{i}<script>x()</script></div></div>'
-            for i in range(10)
-        )
-        pages.append((p, parse_serp(f"<html><body>{blocks}</body></html>")))
-    rows = reassemble_pages(pages, limit=25)
+    reg = SearchEngineRegistry(searxng_url="http://searx.internal.test")
+    google = reg.get_engine("google")
+    searx = reg.get_engine("searxng")
+
+    engines, titles, urls, descs = [], [], [], []
+    for engine, make_page in (
+        (
+            google,
+            lambda p: "<html><body>" + "".join(
+                f'<div jscontroller="SC7lYd"><a href="http://r.test/{p}/{i}">'
+                f"<h3>R {p}-{i}</h3></a>"
+                f'<div data-sncf="1">desc {p}-{i}<script>x()</script></div></div>'
+                for i in range(10)
+            ) + "</body></html>",
+        ),
+        (
+            searx,
+            lambda p: json.dumps(
+                {
+                    "results": [
+                        {
+                            "url": f"http://r.test/{p}/{i}",
+                            "title": f"R {p}-{i}",
+                            "content": f"desc {p}-{i}",
+                            "engine": "duckduckgo",
+                            "category": "general",
+                        }
+                        for i in range(10)
+                    ]
+                }
+            ),
+        ),
+    ):
+        n_pages = SearchEngineRegistry.effective_pages(engine, {"limit": 25})
+        pages = [(p, engine.parse(make_page(p))) for p in range(n_pages)]
+        for r in reassemble_pages(pages, limit=25):
+            engines.append(engine.name)
+            titles.append(r["title"])
+            urls.append(r["url"])
+            descs.append(r["description"])
     return pa.table(
-        {"title": pa.array([r["title"] for r in rows], pa.string()),
-         "url": pa.array([r["url"] for r in rows], pa.string()),
-         "description": pa.array([r["description"] for r in rows], pa.string())}
+        {"engine": pa.array(engines, pa.string()),
+         "title": pa.array(titles, pa.string()),
+         "url": pa.array(urls, pa.string()),
+         "description": pa.array(descs, pa.string())}
     )
 
 

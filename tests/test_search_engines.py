@@ -1,0 +1,106 @@
+"""Multi-engine SERP registry tests (types.ts / Searxng.ts /
+SearchService.ts engine-selection semantics)."""
+
+import json
+
+import pytest
+
+from anycrawl_ray.functions.search_engines import (
+    GoogleSearchEngine,
+    SearchEngineRegistry,
+    SearxngSearchEngine,
+)
+
+SEARX = SearxngSearchEngine("http://sx.test/")
+
+
+def test_searxng_url_builder():
+    t = SEARX.build_task(
+        {"query": "a b", "page": 2, "lang": "en", "sources": "news",
+         "timeRange": "week", "safe_search": 1}
+    )
+    assert t["url"] == (
+        "http://sx.test/search?q=a+b&format=json&pageno=2&language=en"
+        "&categories=news&time_range=week&safesearch=1"
+    )
+    assert t["require_proxy"] is False
+    assert t["headers"] == {"Accept": "application/json"}
+
+
+def test_searxng_parse_web_news_images():
+    payload = json.dumps(
+        {
+            "results": [
+                {"url": "http://a", "title": "A", "content": "ca", "engine": "brave"},
+                {"title": "no-url suggestion"},
+                {
+                    "url": "http://i", "title": "I", "category": "images",
+                    "img_src": "http://i/full.jpg", "resolution": "1000×1500",
+                    "positions": [3, 9], "thumbnail_src": "http://i/t.jpg",
+                    "img_format": "jpeg", "filesize": "245.76 KB",
+                },
+                {
+                    "url": "http://n", "title": "N", "category": "news",
+                    "snippet": "sn", "publishedDate": "2024-01-01",
+                    "thumbnail": "http://n/t.jpg",
+                },
+            ]
+        }
+    )
+    out = SEARX.parse(payload)
+    assert len(out) == 3  # no-url skipped
+    web, img, news = out
+    assert web == {
+        "title": "A", "url": "http://a", "description": "ca",
+        "source": "SearXNG (brave)", "category": "web",
+    }
+    assert img["category"] == "images"
+    assert (img["imageWidth"], img["imageHeight"]) == (1000, 1500)
+    assert img["position"] == 3 and img["imageUrl"] == "http://i/full.jpg"
+    assert news["category"] == "news" and news["date"] == "2024-01-01"
+    assert news["snippet"] == "sn" and news["source"] == "SearXNG (unknown)"
+    assert SEARX.parse("not json") == []
+
+
+def test_google_task_and_parse():
+    g = GoogleSearchEngine()
+    t = g.build_task({"query": "x", "page": 3, "lang": "en"})
+    assert "start=20" in t["url"] and t["require_proxy"] is True
+    html = ('<div jscontroller="SC7lYd"><a href="http://r/1"><h3>T</h3></a>'
+            '<div data-sncf="1">d</div></div>')
+    assert g.parse(html)[0]["url"] == "http://r/1"
+
+
+def test_registry_resolution():
+    reg = SearchEngineRegistry(searxng_url="http://sx.test")
+    assert reg.resolve_engine_name(None) == "google"
+    assert reg.resolve_engine_name("default") == "google"
+    assert reg.resolve_engine_name("SEARXNG") == "searxng"
+    assert reg.resolve_engine_name("bogus") == "google"  # invalid -> default
+    assert reg.get_engine("searxng") is reg.get_engine("searxng")  # cached
+
+    # searxng unavailable without URL -> falls back to default
+    reg2 = SearchEngineRegistry()
+    assert reg2.resolve_engine_name("searxng") == "google"
+    with pytest.raises(ValueError, match="not available"):
+        reg2._create("searxng")
+
+    # single enabled engine forces itself regardless of request
+    reg3 = SearchEngineRegistry(searxng_url="http://sx.test",
+                                enabled_engines=("searxng",))
+    assert reg3.resolve_engine_name("google") == "searxng"
+    # multiple enabled: requested-if-listed else default
+    reg4 = SearchEngineRegistry(searxng_url="http://sx.test",
+                                enabled_engines=("google", "searxng"))
+    assert reg4.resolve_engine_name("searxng") == "searxng"
+
+
+def test_effective_pages_direct_limit():
+    class Direct:
+        supports_direct_limit = True
+
+    g = GoogleSearchEngine()
+    assert SearchEngineRegistry.effective_pages(g, {"limit": 25}) == 3
+    assert SearchEngineRegistry.effective_pages(Direct(), {"limit": 25}) == 1
+    assert SearchEngineRegistry.effective_pages(g, {"pages": 2}) == 2
+    assert SearchEngineRegistry.effective_pages(g, {"limit": 1000}) == 20  # cap
