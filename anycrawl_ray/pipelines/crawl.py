@@ -87,6 +87,12 @@ class CrawlRunConfig:
     # page — chunk->extract/summary->merge in the fetch workers
     # (reference DataExtractor.ts:437-586; deterministic agent mode here)
     formats: tuple = ()
+    # disk-backed exact seen store (state/diskstore.py): bound each shard's
+    # heap to ``seen_memtable_cap`` URLs; overflow flushes to sorted mmap'd
+    # segments under ``seen_store_dir`` (node-local scratch). None = classic
+    # unbounded in-memory set. Membership stays byte-exact either way.
+    seen_store_dir: str | None = None
+    seen_memtable_cap: int = 1 << 20
 
 
 @dataclass
@@ -407,7 +413,8 @@ def run_crawl(
     cfg = _resolve_stream_order(cfg)
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
 
-    seen = SeenSet(cfg.n_seen_shards)
+    seen = SeenSet(cfg.n_seen_shards, store_dir=cfg.seen_store_dir,
+                   memtable_cap=cfg.seen_memtable_cap)
     frontier = Frontier(
         cfg.job_id,
         spill_threshold=cfg.frontier_spill_threshold,
@@ -622,7 +629,8 @@ def run_crawl_relaxed(
         raise ValueError("relaxed mode does not support politeness actors")
     cfg = _resolve_stream_order(cfg)
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
-    seen = SeenSet(cfg.n_seen_shards)
+    seen = SeenSet(cfg.n_seen_shards, store_dir=cfg.seen_store_dir,
+                   memtable_cap=cfg.seen_memtable_cap)
     frontier = Frontier(cfg.job_id)
     out = CrawlOutput(spans_dir=cfg.spans_out_dir)
     counters_rows: list[dict] = []

@@ -21,6 +21,8 @@ a fixed seed) — no per-row Python hashing on the hot path.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
@@ -40,14 +42,29 @@ def stable_hash64(urls: list[str] | pa.Array) -> np.ndarray:
 
 class SeenShardCore:
     """Plain-Python shard logic (actor-wrapped below; also used inline for
-    single-process conformance debugging)."""
+    single-process conformance debugging).
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 18):
+    ``store_dir`` (optional) bounds the exact backing store's heap footprint:
+    the in-memory set becomes a MEMTABLE capped at ``memtable_cap`` entries;
+    on overflow it is flushed to an immutable sorted mmap'd segment on local
+    disk (state/diskstore.py) and cleared. Membership stays byte-exact —
+    filter-positive probes verify against memtable + segments. Without
+    ``store_dir`` behavior is the original unbounded in-memory set (the right
+    call for conformance tests and small jobs)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 18,
+                 store_dir: str | None = None, memtable_cap: int = 1 << 20):
         self.shard_id = shard_id
         self.capacity = capacity
         self.exact: set[str] = set()
         self.cuckoo: CuckooFilter | None = CuckooFilter(capacity, seed=shard_id)
         self.bloom: BloomFilter | None = None
+        self.memtable_cap = memtable_cap
+        self.store = None
+        if store_dir is not None:
+            from .diskstore import DiskSegmentStore
+
+            self.store = DiskSegmentStore(store_dir)
 
     # -- filter plumbing -------------------------------------------------
     def _filter_contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -65,11 +82,24 @@ class SeenShardCore:
 
     def _spill_to_bloom(self) -> None:
         """Cuckoo exceeded capacity: rebuild membership as a bloom over the
-        exact set (growable by powers of two on future pressure)."""
+        exact store (growable by powers of two on future pressure). Segment
+        hashes are read from the mmap'd hash columns — no URL strings are
+        materialized for the rebuild."""
         self.cuckoo = None
-        self.bloom = BloomFilter(max(self.capacity * 4, len(self.exact) * 2))
+        n = len(self.exact) + (self.store.n_rows if self.store else 0)
+        self.bloom = BloomFilter(max(self.capacity * 4, n * 2))
         if self.exact:
             self.bloom.insert_many(stable_hash64(list(self.exact)))
+        if self.store is not None and self.store.n_rows:
+            self.bloom.insert_many(self.store.all_hashes())
+
+    def _maybe_flush(self) -> None:
+        """Memtable overflow -> one immutable sorted segment on disk."""
+        if self.store is None or len(self.exact) < self.memtable_cap:
+            return
+        urls = list(self.exact)
+        self.store.flush(urls, stable_hash64(urls))
+        self.exact.clear()
 
     # -- public API ------------------------------------------------------
     def check_and_add(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
@@ -77,30 +107,46 @@ class SeenShardCore:
         within the batch). Mirrors pop-time ``visited.has/add`` (:43-44)."""
         out = np.zeros(len(urls), dtype=bool)
         maybe = self._filter_contains(hashes)
+        # filter-positives verify against the disk segments in ONE batched
+        # vectorized probe; filter-negatives are definitely absent from disk
+        # (every insert also went into the filter)
+        disk_known = np.zeros(len(urls), dtype=bool)
+        if self.store is not None and maybe.any():
+            idx = np.flatnonzero(maybe)
+            disk_known[idx] = self.store.contains_batch(
+                [urls[i] for i in idx], hashes[idx]
+            )
         new_hashes = []
         for i, u in enumerate(urls):
-            if maybe[i] or u in self.exact:
-                # filter positive: exact-verify; in-batch dup: exact hits
-                if u in self.exact:
-                    continue
+            # memtable probe also catches in-batch dups (filter insert is
+            # deferred to the end of the batch)
+            if disk_known[i] or u in self.exact:
+                continue
             self.exact.add(u)
             out[i] = True
             new_hashes.append(hashes[i])
         if new_hashes:
             self._filter_insert(np.array(new_hashes, dtype=np.uint64))
+        self._maybe_flush()
         return out
 
     def contains(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
         maybe = self._filter_contains(hashes)
         out = np.zeros(len(urls), dtype=bool)
+        if self.store is not None and maybe.any():
+            idx = np.flatnonzero(maybe)
+            out[idx] = self.store.contains_batch([urls[i] for i in idx], hashes[idx])
         for i, u in enumerate(urls):
-            if maybe[i]:
+            if maybe[i] and not out[i]:
                 out[i] = u in self.exact
             # negative => definitely unseen (cuckoo w/o overflow, bloom always)
         return out
 
     def dump(self) -> pa.Table:
-        urls = sorted(self.exact)  # deterministic checkpoint bytes
+        all_urls = set(self.exact)
+        if self.store is not None:
+            all_urls.update(self.store.all_urls())
+        urls = sorted(all_urls)  # deterministic checkpoint bytes
         hashes = stable_hash64(urls) if urls else np.array([], dtype=np.uint64)
         return pa.Table.from_pydict(
             {
@@ -113,18 +159,33 @@ class SeenShardCore:
 
     def restore(self, table: pa.Table) -> None:
         urls = table.column("url").to_pylist()
-        self.exact = set(urls)
         self.cuckoo = CuckooFilter(self.capacity, seed=self.shard_id)
         self.bloom = None
+        if self.store is not None:
+            # stale segments were discarded at store construction; rebuild the
+            # full store as one segment and start with an empty memtable
+            from .diskstore import DiskSegmentStore
+
+            self.store = DiskSegmentStore(self.store.dir)
+            self.exact = set()
+            if urls:
+                self.store.flush(urls, stable_hash64(urls))
+                self._filter_insert(stable_hash64(urls))
+            return
+        self.exact = set(urls)
         if urls:
             self._filter_insert(stable_hash64(urls))
 
     def stats(self) -> dict:
-        return {
+        st = {
             "shard": self.shard_id,
-            "n": len(self.exact),
+            "n": len(self.exact) + (self.store.n_rows if self.store else 0),
+            "memtable": len(self.exact),
             "filter": "cuckoo" if self.cuckoo is not None else "bloom",
         }
+        if self.store is not None:
+            st["disk"] = self.store.stats()
+        return st
 
 
 SeenShard = ray.remote(SeenShardCore)
@@ -145,10 +206,16 @@ class SeenSet:
     One network round-trip per shard per call; shards work in parallel.
     """
 
-    def __init__(self, n_shards: int = 4, capacity_per_shard: int = 1 << 18):
+    def __init__(self, n_shards: int = 4, capacity_per_shard: int = 1 << 18,
+                 store_dir: str | None = None, memtable_cap: int = 1 << 20):
         self.n_shards = n_shards
         self.shards = [
-            SeenShard.options(num_cpus=0.25).remote(i, capacity_per_shard)
+            SeenShard.options(num_cpus=0.25).remote(
+                i, capacity_per_shard,
+                store_dir=(os.path.join(store_dir, f"shard{i:03d}")
+                           if store_dir else None),
+                memtable_cap=memtable_cap,
+            )
             for i in range(n_shards)
         ]
 

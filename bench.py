@@ -54,9 +54,11 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
 
     ``mode``: "conformance" (reference wave order, per-round barrier) or
     "relaxed" (pipelined, completion order — same page set, no barrier).
-    ``checkpointed``: run with a per-rep checkpoint_dir, which auto-enables
-    stream_order — the at-scale configuration (driver holds only the
-    since-last-checkpoint order tail; O(delta) segments on disk).
+    ``checkpointed``: the at-scale configuration — per-rep checkpoint_dir
+    (auto-enables stream_order: driver holds only the since-last-checkpoint
+    order tail, O(delta) segments on disk) PLUS the disk-backed exact seen
+    store with a memtable small enough that every shard actually flushes
+    sorted segments during the run.
     The fetch-worker pool is built once and reused across warm-up + timed
     reps, mirroring the reference's long-lived crawler processes.
 
@@ -97,6 +99,8 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
             executor="pool", spans_out_dir=os.path.join(scratch, jid, "spans"),
             checkpoint_dir=(os.path.join(scratch, jid, "ckpt") if checkpointed else None),
             checkpoint_every=(4 if checkpointed else 0),
+            seen_store_dir=(os.path.join(scratch, jid, "seen") if checkpointed else None),
+            seen_memtable_cap=(8192 if checkpointed else 1 << 20),
             render_iters=RENDER_ITERS, dataset_batch_size=512,
         )
 
