@@ -41,21 +41,19 @@ from .pipelines.crawl import CrawlRunConfig, run_crawl
 from .refmodel import CrawlOptions
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    """Zero-copy pandas-metadata strip: pyarrow 16's ``hash(schema)`` raises
-    on metadata dicts, which defeats Ray Data's block-schema dedup (its
-    early-exit `set(schemas)`) in every downstream stage and spams "Failed to
-    hash the schemas" warnings (VERDICT r2 wrong #5). Stripping right after
-    the read keeps all later unify calls on the fast path. (Passing a
-    metadata-free `schema=` to read_parquet instead measures ~2x slower —
-    it forces per-block casts.)"""
-    return t.replace_schema_metadata(None)
-
-
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    """Column-pruned parquet read.
+
+    Note on the "Failed to hash the schemas" WARNING Ray logs per task:
+    pyarrow 16's ``hash(schema)`` raises on the pandas metadata the testdata
+    files carry, so Ray's schema-dedup early exit falls through (harmless).
+    Measured alternatives both cost real throughput — ``schema=`` (stripped)
+    forces per-block casts (~2x slower reads), and a zero-copy
+    ``replace_schema_metadata(None)`` map adds an operator boundary (~20-40%
+    on short queries) — so the fix is log-side: bench.py ships a Ray Data
+    logging config (inherited by workers) that routes that one module's
+    WARNINGs to the log file only."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:

@@ -9,19 +9,23 @@ store cannot be an in-memory Python set of full URL strings (~100 B/URL ->
 - immutable **sorted segments** on local disk, flushed when the memtable
   fills: Arrow IPC files sorted by ``(url_hash, url)``, re-opened with
   ``pa.memory_map`` so probes read through the OS page cache — the process
-  heap holds only the file handles, not the strings;
-- probes are **batched and vectorized**: one ``np.searchsorted`` of the probe
-  hashes against each segment's mmap'd uint64 hash column (zero-copy), then
-  string equality checks only at hash-matching positions (collision runs are
-  walked; at 64-bit hashes a run is ~always length 1).
+  heap holds only file handles + the per-segment bloom, not the strings;
+- probes are **batched and vectorized**: a per-segment bloom prunes probes
+  that cannot be in the segment (saves cold page faults), then one
+  ``np.searchsorted`` of the surviving hashes against the segment's mmap'd
+  uint64 hash column (zero-copy), then string equality checks only at
+  hash-matching positions (collision runs are walked; at 64-bit hashes a
+  run is ~always length 1);
+- **size-tiered compaction** bounds probe fan-out: when the segment count
+  reaches ``compact_threshold``, the smallest segments are merged (up to
+  ``compact_max_rows`` at a time, so the merge's working set stays bounded)
+  into one sorted segment. Merging never changes membership — segments are
+  disjoint by construction (membership is checked before insert).
 
-Exactness is preserved end-to-end: the cuckoo/bloom in front stays a *filter*
-(negative => definitely new), and every filter-positive is verified against
-memtable + segments byte-exactly. Segments are disjoint by construction — a
-URL is flushed at most once because membership is checked before insert —
-so no compaction is needed for correctness; a real deployment would still
-compact to bound per-probe segment fan-out (k segments => k searchsorted per
-batch) and would hang a per-segment bloom in front of cold segments.
+Exactness is preserved end-to-end: the shard's cuckoo/bloom in front stays a
+*filter* (negative => definitely new), and every filter-positive is verified
+against memtable + segments byte-exactly; the per-segment blooms are also
+filters (negative => skip segment, positive => searchsorted-verify).
 
 Durability scope: segments live in the shard actor's node-local scratch dir.
 They are NOT the checkpoint — ``SeenShardCore.dump()`` still emits the full
@@ -32,28 +36,44 @@ store from it (stale segments from a crashed run are discarded first).
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
 
+from .cuckoo import BloomFilter
+
 _SEG_SCHEMA = pa.schema([("url_hash", pa.uint64()), ("url", pa.string())])
+
+
+@dataclass
+class _Segment:
+    path: str
+    mmap: pa.MemoryMappedFile
+    hashes: np.ndarray          # zero-copy view into the mmap
+    urls: pa.ChunkedArray       # lazily paged string column
+    bloom: BloomFilter | None
 
 
 class DiskSegmentStore:
     """Immutable sorted-segment store for one seen shard."""
 
-    def __init__(self, store_dir: str):
+    def __init__(self, store_dir: str, *, bloom_per_segment: bool = True,
+                 compact_threshold: int = 8, compact_max_rows: int = 4_000_000):
         self.dir = store_dir
+        self.bloom_per_segment = bloom_per_segment
+        self.compact_threshold = compact_threshold
+        self.compact_max_rows = compact_max_rows
         os.makedirs(store_dir, exist_ok=True)
         # fresh actor owns its scratch dir: segments from a previous
         # (crashed) incarnation are superseded by checkpoint restore
         for name in os.listdir(store_dir):
             if name.endswith(".arrow") or name.endswith(".tmp"):
                 os.unlink(os.path.join(store_dir, name))
-        self._hashes: list[np.ndarray] = []   # zero-copy views into mmaps
-        self._urls: list[pa.ChunkedArray] = []
-        self._mmaps: list[pa.MemoryMappedFile] = []
+        self._segments: list[_Segment] = []
+        self._seq = 0
         self._n_rows = 0
+        self.compactions = 0
 
     # -- write path ------------------------------------------------------
     def flush(self, urls: list[str], hashes: np.ndarray) -> None:
@@ -68,7 +88,12 @@ class DiskSegmentStore:
             ],
             schema=_SEG_SCHEMA,
         )
-        path = os.path.join(self.dir, f"seg{len(self._mmaps):05d}.arrow")
+        self._write_segment(t)
+        self._maybe_compact()
+
+    def _write_segment(self, t: pa.Table) -> None:
+        path = os.path.join(self.dir, f"seg{self._seq:06d}.arrow")
+        self._seq += 1
         tmp = path + ".tmp"
         with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, _SEG_SCHEMA) as w:
             w.write_table(t)
@@ -78,49 +103,95 @@ class DiskSegmentStore:
     def _open_segment(self, path: str) -> None:
         mm = pa.memory_map(path)
         t = pa.ipc.open_file(mm).read_all().combine_chunks()
-        self._mmaps.append(mm)
-        self._hashes.append(t.column("url_hash").to_numpy())  # zero-copy
-        self._urls.append(t.column("url"))
+        h = t.column("url_hash").to_numpy()  # zero-copy
+        bloom = None
+        if self.bloom_per_segment and len(h):
+            bloom = BloomFilter(max(1024, len(h) * 2))
+            bloom.insert_many(h)
+        self._segments.append(_Segment(path, mm, h, t.column("url"), bloom))
         self._n_rows += t.num_rows
+
+    def _maybe_compact(self) -> None:
+        """Size-tiered compaction: merge the smallest segments (bounded
+        working set) into one when fan-out grows past the threshold."""
+        if len(self._segments) < self.compact_threshold:
+            return
+        by_size = sorted(range(len(self._segments)),
+                         key=lambda i: len(self._segments[i].hashes))
+        pick, total = [], 0
+        for i in by_size:
+            n = len(self._segments[i].hashes)
+            if pick and total + n > self.compact_max_rows:
+                break
+            pick.append(i)
+            total += n
+        if len(pick) < 2:
+            return
+        merged = pa.concat_tables(
+            pa.ipc.open_file(self._segments[i].mmap).read_all() for i in pick
+        ).combine_chunks()
+        h = merged.column("url_hash").to_numpy()
+        u = merged.column("url").to_pylist()
+        order = np.lexsort((np.asarray(u, dtype=object), h))
+        merged = pa.Table.from_arrays(
+            [pa.array(h[order], pa.uint64()),
+             pa.array([u[i] for i in order], pa.string())],
+            schema=_SEG_SCHEMA,
+        )
+        dead = [self._segments[i] for i in pick]
+        self._segments = [s for i, s in enumerate(self._segments) if i not in set(pick)]
+        self._n_rows -= merged.num_rows
+        for s in dead:
+            s.mmap.close()
+            os.unlink(s.path)
+        self._write_segment(merged)
+        self.compactions += 1
 
     # -- read path -------------------------------------------------------
     def contains_batch(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
         """Exact membership mask, probing every segment vectorized."""
         out = np.zeros(len(urls), dtype=bool)
-        pending = np.flatnonzero(~out)
-        for seg_h, seg_u in zip(self._hashes, self._urls):
+        pending = np.arange(len(urls))
+        for seg in self._segments:
             if len(pending) == 0:
                 break
-            pos = np.searchsorted(seg_h, hashes[pending])
-            hit = []
-            for k, i in enumerate(pending):
+            cand = pending
+            if seg.bloom is not None:
+                maybe = seg.bloom.contains_many(hashes[cand])
+                cand = cand[maybe]
+                if len(cand) == 0:
+                    continue
+            pos = np.searchsorted(seg.hashes, hashes[cand])
+            hit = False
+            for k, i in enumerate(cand):
                 j = pos[k]
                 h = hashes[i]
                 # walk the (almost always length-1) equal-hash run
-                while j < len(seg_h) and seg_h[j] == h:
-                    if seg_u[j].as_py() == urls[i]:
+                while j < len(seg.hashes) and seg.hashes[j] == h:
+                    if seg.urls[j].as_py() == urls[i]:
                         out[i] = True
-                        hit.append(i)
+                        hit = True
                         break
                     j += 1
             if hit:
-                pending = np.flatnonzero(~out)
+                pending = pending[~out[pending]]
         return out
 
     # -- bulk readers (bloom rebuild / checkpoint dump) ------------------
     def all_hashes(self) -> np.ndarray:
-        if not self._hashes:
+        if not self._segments:
             return np.array([], dtype=np.uint64)
-        return np.concatenate(self._hashes)
+        return np.concatenate([s.hashes for s in self._segments])
 
     def all_urls(self) -> list[str]:
         out: list[str] = []
-        for col in self._urls:
-            out.extend(col.to_pylist())
+        for s in self._segments:
+            out.extend(s.urls.to_pylist())
         return out
 
     def stats(self) -> dict:
-        return {"segments": len(self._mmaps), "rows": self._n_rows}
+        return {"segments": len(self._segments), "rows": self._n_rows,
+                "compactions": self.compactions}
 
     @property
     def n_rows(self) -> int:

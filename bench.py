@@ -50,6 +50,12 @@ def _set_data_logging_config() -> None:
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+    # importing DEFAULT_CONFIG above already ran ray.data's import-time
+    # configure_logging() with the default config — re-apply for the driver
+    # (workers pick the env var up at their first ray.data import)
+    from ray.data._internal.logging import configure_logging
+
+    configure_logging()
 
 
 def _init_ray(num_cpus: int):

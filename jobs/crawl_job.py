@@ -42,6 +42,10 @@ def main() -> None:
     p.add_argument("--seen-shards", type=int, default=4)
     p.add_argument("--out", default="/tmp/anycrawl_job_out")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--disk-seen", action="store_true",
+                   help="bound seen-shard heap: memtable + sorted mmap'd "
+                        "segments under --out/seen (state/diskstore.py)")
+    p.add_argument("--seen-memtable-cap", type=int, default=1 << 20)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = p.parse_args()
 
@@ -89,6 +93,9 @@ def main() -> None:
                 spans_out_dir=os.path.join(args.out, "spans"),
                 checkpoint_dir=os.path.join(args.out, "checkpoint"),
                 politeness=args.politeness,
+                seen_store_dir=(os.path.join(args.out, "seen")
+                                if args.disk_seen else None),
+                seen_memtable_cap=args.seen_memtable_cap,
             ),
             **run_kwargs,
         )

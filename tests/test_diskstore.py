@@ -25,7 +25,7 @@ def test_segment_store_flush_and_probe(tmp_path):
     u1, u2 = urls(300), urls(300, prefix="http://o.test/q/")
     st.flush(u1, stable_hash64(u1))
     st.flush(u2, stable_hash64(u2))
-    assert st.stats() == {"segments": 2, "rows": 600}
+    assert st.stats() == {"segments": 2, "rows": 600, "compactions": 0}
     assert st.contains_batch(u1, stable_hash64(u1)).all()
     assert st.contains_batch(u2, stable_hash64(u2)).all()
     fresh = urls(100, prefix="http://fresh.test/")
@@ -46,6 +46,54 @@ def test_segment_files_on_disk_and_reset(tmp_path):
     st2 = DiskSegmentStore(str(tmp_path))
     assert st2.stats()["rows"] == 0
     assert not st2.contains_batch(u, stable_hash64(u)).any()
+
+
+def test_compaction_bounds_fanout_and_keeps_membership(tmp_path):
+    """Size-tiered compaction merges the smallest segments once the count
+    hits the threshold; membership and row counts are unchanged and dead
+    segment files are removed from disk."""
+    st = DiskSegmentStore(str(tmp_path), compact_threshold=4)
+    batches = []
+    for b in range(6):
+        u = urls(50, prefix=f"http://c{b}.test/")
+        batches.append(u)
+        st.flush(u, stable_hash64(u))
+    s = st.stats()
+    assert s["rows"] == 300
+    assert s["compactions"] >= 1
+    assert s["segments"] < 6
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".arrow")]
+    assert len(files) == s["segments"]  # dead segments unlinked
+    for u in batches:
+        assert st.contains_batch(u, stable_hash64(u)).all()
+    fresh = urls(100, prefix="http://fresh.test/")
+    assert not st.contains_batch(fresh, stable_hash64(fresh)).any()
+
+
+def test_compaction_respects_merge_bound(tmp_path):
+    """compact_max_rows bounds the merge working set: oversized segments are
+    left alone, small ones merge."""
+    st = DiskSegmentStore(str(tmp_path), compact_threshold=3,
+                          compact_max_rows=120)
+    big = urls(500, prefix="http://big.test/")
+    st.flush(big, stable_hash64(big))
+    for b in range(2):
+        u = urls(40, prefix=f"http://s{b}.test/")
+        st.flush(u, stable_hash64(u))
+    s = st.stats()
+    # the two 40-row segments merged; the 500-row one was out of budget
+    assert s["compactions"] == 1
+    assert s["segments"] == 2
+    assert st.contains_batch(big, stable_hash64(big)).all()
+
+
+def test_segment_store_without_blooms(tmp_path):
+    st = DiskSegmentStore(str(tmp_path), bloom_per_segment=False)
+    u = urls(200)
+    st.flush(u, stable_hash64(u))
+    assert st.contains_batch(u, stable_hash64(u)).all()
+    fresh = urls(50, prefix="http://f.test/")
+    assert not st.contains_batch(fresh, stable_hash64(fresh)).any()
 
 
 def test_shard_with_store_matches_python_set(tmp_path):
