@@ -566,7 +566,11 @@ def embedding_lsh_dedup_dataset(
         ),
         batch_format="pyarrow",
     )
-    ids = np.unique(np.array(both.unique("doc_id"), dtype=np.int64))
+    # NB: Dataset.unique yields None/[None] on a zero-row column — drop it
+    ids = np.unique(np.array(
+        [x for x in (both.unique("doc_id") or []) if x is not None],
+        dtype=np.int64,
+    ))
     if len(ids) == 0:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
@@ -1078,7 +1082,11 @@ def minhash_dedup_dataset(
         ),
         batch_format="pyarrow",
     )
-    ids = np.unique(np.array(both.unique("doc_id"), dtype=np.int64))
+    # NB: Dataset.unique yields None/[None] on a zero-row column — drop it
+    ids = np.unique(np.array(
+        [x for x in (both.unique("doc_id") or []) if x is not None],
+        dtype=np.int64,
+    ))
     if len(ids) == 0:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
@@ -1143,6 +1151,113 @@ def q_doc_fingerprint(sf_dir: str):
         )
 
     return _text_map(sf_dir, f)
+
+
+_SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
+_SPLIT_M = 4294967296  # 2^32
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/validation/test split (80/10/10) — the
+    training-data staple: bucket = Knuth multiplicative hash of doc_id
+    (closed-form integer arithmetic, so the DuckDB oracle mirrors it
+    exactly). Embarrassingly parallel per batch — no shuffle, and the
+    assignment is reproducible across cluster sizes and re-runs, which is
+    what makes the split usable as a lineage key at 100 TB."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        bucket = ((ids * _SPLIT_K) % _SPLIT_M) % 10
+        split = np.where(
+            bucket < 8, "train", np.where(bucket < 9, "validation", "test")
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "bucket": pa.array(bucket, pa.int64()),
+             "split": pa.array(split.tolist(), pa.string())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _collect(
+        ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+    ).sort_by("doc_id")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Corpus dedup with representative selection — the full LLM-corpus
+    composition: MinHash+LSH verified near-dup pairs -> connected components
+    -> keep the highest-quality member per cluster (ties: lowest doc_id).
+
+    Scale shape: the pair list and the component map are OUTPUT-sized (the
+    near-dup graph, not the corpus), so the union-find runs on the driver;
+    quality scores are computed only for cluster members via a broadcast
+    semi-join pushdown into the documents read — the corpus itself streams
+    through the existing one-shuffle minhash pipeline and is never
+    materialized."""
+    pairs = q_minhash_dedup(sf_dir)
+    a = pairs.column("a_id").to_pylist()
+    b = pairs.column("b_id").to_pylist()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # root = lowest doc_id
+    members = sorted({*a, *b})
+    if not members:
+        return pa.table(
+            {"cluster_id": pa.array([], pa.int64()),
+             "keep_doc_id": pa.array([], pa.int64()),
+             "n_members": pa.array([], pa.int64()),
+             "best_score": pa.array([], pa.float64())}
+        )
+    members_ref = ray.put(np.asarray(members, dtype=np.int64))
+
+    def score_members(t: pa.Table) -> pa.Table:
+        keys = ray.get(members_ref)
+        ids = t.column("doc_id").to_numpy()
+        pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
+        mask = keys[pos] == ids
+        sub = t.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        scores = _round6_half_away(
+            tx.quality_scores(sub.column("text").combine_chunks())
+        )
+        return pa.table({"doc_id": sub.column("doc_id"),
+                         "score": pa.array(scores, pa.float64())})
+
+    scored = _collect(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            score_members, batch_format="pyarrow", batch_size=2048
+        )
+    )
+    best: dict[int, tuple[float, int]] = {}  # root -> (score, doc_id)
+    counts: dict[int, int] = {}
+    for d, s in zip(scored.column("doc_id").to_pylist(),
+                    scored.column("score").to_pylist()):
+        r = find(d)
+        counts[r] = counts.get(r, 0) + 1
+        cur = best.get(r)
+        if cur is None or s > cur[0] or (s == cur[0] and d < cur[1]):
+            best[r] = (s, d)
+    roots = sorted(best)
+    return pa.table(
+        {"cluster_id": pa.array(roots, pa.int64()),
+         "keep_doc_id": pa.array([best[r][1] for r in roots], pa.int64()),
+         "n_members": pa.array([counts[r] for r in roots], pa.int64()),
+         "best_score": pa.array([best[r][0] for r in roots], pa.float64())}
+    )
 
 
 def q_media_features(sf_dir: str):
@@ -1627,7 +1742,9 @@ def build_queries() -> dict[str, Callable]:
         "events_value_stats": q_events_value_stats,
         "scheduler_executions": q_scheduler_executions,
         "proxy_ladder": q_proxy_ladder,
+        "train_split": q_train_split,
         # rows-only (non-SQL-expressible)
+        "dedup_keep_best": q_dedup_keep_best,
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
         "monitor_diff": q_monitor_diff,
@@ -1884,6 +2001,16 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    COUNT(DISTINCT user_id) AS active_users
             FROM events GROUP BY 1 ORDER BY day
+        """,
+        "train_split": f"""
+            SELECT doc_id,
+                   ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 AS bucket,
+                   CASE WHEN ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 < 8
+                            THEN 'train'
+                        WHEN ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 < 9
+                            THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         # closed form of the proxy attempt ladder: fresh rotator per request
         # gives fixed per-mode ladders auto=[b1,s1,s1], stealth=[s1,b2,b1],
