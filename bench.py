@@ -46,6 +46,12 @@ def _set_data_logging_config() -> None:
     cfg["loggers"]["ray.data._internal.arrow_ops.transform_pyarrow"] = {
         "level": "ERROR", "handlers": ["file"], "propagate": False,
     }
+    # sort/shuffle boundary splits emit empty blocks whose empty schema trips
+    # a benign "RefBundle with a different schema" warning per query — keep
+    # it in the session log file, off the bench console
+    cfg["loggers"]["ray.data._internal.execution.streaming_executor_state"] = {
+        "level": "ERROR", "handlers": ["file"], "propagate": False,
+    }
     path = os.path.join(tempfile.mkdtemp(prefix="anycrawl_logcfg_"), "logging.yaml")
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -320,8 +326,43 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Per-stage Ray Data stats for representative pipelines (the
+    measure-don't-guess loop: wall time should sit in useful compute, not in
+    scheduling or driver serialization). Prints each pipeline's
+    ``Dataset.stats()`` — per-operator wall/cpu/rows/blocks."""
+    import ray
+    import ray.data as rd
+
+    _init_ray(NUM_CPUS)
+    from anycrawl_ray import queries as q
+
+    rd.range(64).map_batches(lambda b: b).count()
+    ds = q._read(SF_DIR, "events", ["user_id", "event_id", "ts"])
+    import polars as pl
+
+    co = q._co_partitioned(
+        ds, "user_id",
+        lambda df: df.sort("ts", "event_id", descending=[True, True])
+        .group_by("user_id", maintain_order=True).head(1).select(["user_id", "event_id"]),
+    ).materialize()
+    print("== cache_lookup (co-partitioned latest-per-key)")
+    print(co.stats())
+    docs = q._read(SF_DIR, "documents", ["doc_id", "text"])
+    band = docs.map_batches(
+        __import__("anycrawl_ray.functions.dedup", fromlist=["dd"]).make_minhash_band_fn(
+            num_perms=64, k=3, bands=32, n_parts=32),
+        batch_format="pyarrow", batch_size=2048,
+    ).materialize()
+    print("== minhash banding (vectorized signature stage)")
+    print(band.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    if "--single-crawl" in sys.argv:
+    if "--stats" in sys.argv:
+        run_stats()
+    elif "--single-crawl" in sys.argv:
         n = int(sys.argv[sys.argv.index("--single-crawl") + 1])
         print(json.dumps(run_once(n, crawl_only=True)))
     elif "--scaling" in sys.argv:
