@@ -126,14 +126,23 @@ def deliver_events(
 ) -> pa.Table:
     """Fan events out to matching subscriptions and account each delivery's
     retry lifecycle — the whole S11 pipeline as one deterministic function.
-    Returns a DELIVERY_SCHEMA table (the local "webhook events" sink)."""
+    Returns a DELIVERY_SCHEMA table (the local "webhook events" sink).
+
+    SSRF guard (Webhook.ts:9-46): a subscription whose target URL points at
+    a private/loopback host is never attempted — recorded as status
+    "blocked_private_ip" with zero attempts."""
+    from .netguard import is_private_ip_url
+
     rows = {k: [] for k in DELIVERY_SCHEMA.names}
     for event_type, event_source, source_id in events:
         for sub in match_subscriptions(subscriptions, event_type, source_id, user_id):
-            status, attempts, backoff = account_delivery(
-                lambda a: outcome(sub, event_type, source_id, a),
-                sub.max_retries, sub.backoff_multiplier,
-            )
+            if is_private_ip_url(sub.url):
+                status, attempts, backoff = "blocked_private_ip", 0, 0
+            else:
+                status, attempts, backoff = account_delivery(
+                    lambda a: outcome(sub, event_type, source_id, a),
+                    sub.max_retries, sub.backoff_multiplier,
+                )
             rows["subscription_id"].append(sub.subscription_id)
             rows["event_type"].append(event_type)
             rows["event_source"].append(event_source)

@@ -1183,6 +1183,49 @@ def q_train_split(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_credits_charges(sf_dir: str):
+    """Credit arithmetic (§2.8, credits.ts): per-request charge details for a
+    deterministic option matrix synthesized from doc_id — proxy mode cycles
+    auto/stealth/base/custom, JSON extraction on doc_id%3==0 (html-sourced,
+    i.e. doubled, on doc_id%6==0), summary on doc_id%5==0; config prices the
+    LLM add-ons (json 3, summary 2, stealth 2). Runs the real per-request
+    builder inside map_batches (charging is inherently record-level in the
+    reference — one charge row per request); the DuckDB oracle is the
+    closed form of the same ladder."""
+    from .functions import credits as cr
+
+    cfg = cr.CreditConfig(stealth_credits=2, extract_json_credits=3,
+                          summary_credits=2)
+    modes = ["auto", "stealth", "base", "http://c"]
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        totals, n_items = [], []
+        for d in ids:
+            opts = {"proxy": modes[d % 4], "formats": []}
+            if d % 3 == 0:
+                opts["json_options"] = {"schema": {"title": "x"}}
+                opts["formats"].append("json")
+                if d % 6 == 0:
+                    opts["extract_source"] = "html"
+            if d % 5 == 0:
+                opts["formats"].append("summary")
+            details = cr.build_scrape_charge_details(opts, cfg=cfg)
+            assert details["total"] == cr.calculate_scrape_credits(opts, cfg)
+            totals.append(details["total"])
+            n_items.append(len(details["items"]))
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "credits": pa.array(totals, pa.int64()),
+             "n_items": pa.array(n_items, pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _collect(
+        ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+    ).sort_by("doc_id")
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Corpus dedup with representative selection — the full LLM-corpus
     composition: MinHash+LSH verified near-dup pairs -> connected components
@@ -1743,6 +1786,7 @@ def build_queries() -> dict[str, Callable]:
         "scheduler_executions": q_scheduler_executions,
         "proxy_ladder": q_proxy_ladder,
         "train_split": q_train_split,
+        "credits_charges": q_credits_charges,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "js_requirement": q_js_requirement,
@@ -2010,6 +2054,22 @@ def build_oracle_sql() -> dict[str, str]:
                         WHEN ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 < 9
                             THEN 'validation'
                         ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        # closed form of q_credits_charges' option matrix: base 1 + stealth 2
+        # on doc_id%4==1 + json 3 (6 when html-sourced, doc_id%6==0) on
+        # doc_id%3==0 + summary 2 on doc_id%5==0; n_items counts the charged
+        # lines (zero-credit lines are dropped by the normalizer)
+        "credits_charges": """
+            SELECT doc_id,
+                   1 + CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END
+                     + CASE WHEN doc_id % 3 = 0 THEN
+                           (CASE WHEN doc_id % 6 = 0 THEN 6 ELSE 3 END)
+                       ELSE 0 END
+                     + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS credits,
+                   1 + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_items
             FROM documents ORDER BY doc_id
         """,
         # closed form of the proxy attempt ladder: fresh rotator per request
