@@ -195,8 +195,12 @@ def bench_queries() -> dict[str, float]:
     rd.range(64).map_batches(lambda b: b).count()  # warm Ray Data machinery
     for name in names:
         t0 = time.perf_counter()
-        reg[name](SF_DIR)
-        out[name] = round(time.perf_counter() - t0, 3)
+        try:
+            reg[name](SF_DIR)
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not lose the run
+            print(f"BENCH_QUERY_ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            out[name] = -1.0
     return out
 
 
