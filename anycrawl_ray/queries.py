@@ -1153,6 +1153,50 @@ def q_doc_fingerprint(sf_dir: str):
     return _text_map(sf_dir, f)
 
 
+def q_doc_clusters(sf_dir: str):
+    """K-means cluster assignment over the embedding column — the corpus
+    stratification / curriculum-bucketing staple. Centroids fit on a bounded
+    driver-side sample (same discipline as q_ann_ivf), broadcast once via
+    ray.put; every batch assigns its vectors with one vectorized matmul.
+    Output: (vec_id, cluster, cos) with cluster relabeled by each centroid's
+    lowest member vec_id in the SAMPLE so the labeling is stable across runs
+    and cluster counts, plus cosine-to-centroid as the stratum confidence."""
+    from .functions.ann import embedding_matrix, kmeans_lite
+    from .functions.dedup import l2_normalize
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = pq.ParquetFile(emb_path).read_row_group(0, columns=["vec_id", "embedding"])
+    sample = sample.slice(0, 2048)  # bounded fit sample (documented)
+    s_mat = embedding_matrix(sample)
+    cents = l2_normalize(kmeans_lite(s_mat, n_cells=8))
+    # stable labels: rank centroids by their lowest sample member's vec_id
+    s_ids = sample.column("vec_id").to_numpy()
+    s_assign = np.argmax(l2_normalize(s_mat) @ cents.T, axis=1)
+    firsts = [
+        s_ids[s_assign == c].min() if (s_assign == c).any() else np.iinfo(np.int64).max
+        for c in range(len(cents))
+    ]
+    label_of = np.argsort(np.argsort(firsts))
+    bcast = ray.put((cents, label_of))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c, labels = ray.get(bcast)
+        mat = l2_normalize(embedding_matrix(t))
+        sims = mat @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "cluster": pa.array(labels[a], pa.int64()),
+             "cos": pa.array(
+                 _round6_half_away(sims[np.arange(len(a)), a]), pa.float64())}
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _collect(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    ).sort_by("vec_id")
+
+
 _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
@@ -1789,6 +1833,7 @@ def build_queries() -> dict[str, Callable]:
         "credits_charges": q_credits_charges,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
+        "doc_clusters": q_doc_clusters,
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
         "monitor_diff": q_monitor_diff,

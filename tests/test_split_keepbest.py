@@ -101,3 +101,32 @@ def test_dedup_keep_best_empty_pairs(ray_session, tmp_path):
     out = q.q_dedup_keep_best(str(tmp_path))
     assert out.num_rows == 0
     assert out.column_names == ["cluster_id", "keep_doc_id", "n_members", "best_score"]
+
+
+def test_doc_clusters_assignment_and_stability(ray_session):
+    """Every vector lands in its argmax-cosine centroid; labels stable
+    across runs; confidence column matches a brute-force recompute."""
+    import numpy as np
+
+    from anycrawl_ray import queries as q
+    from anycrawl_ray.functions.ann import embedding_matrix, kmeans_lite
+    from anycrawl_ray.functions.dedup import l2_normalize
+
+    out1 = q.q_doc_clusters(SF)
+    out2 = q.q_doc_clusters(SF)
+    assert out1.equals(out2)  # deterministic
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assert out1.num_rows == emb.num_rows
+    k = len(set(out1.column("cluster").to_pylist()))
+    assert 2 <= k <= 8
+
+    # brute-force recompute of the winning cosine per vector
+    sample = emb.slice(0, 2048)
+    cents = l2_normalize(kmeans_lite(embedding_matrix(sample), n_cells=8))
+    mat = l2_normalize(embedding_matrix(emb))
+    sims = mat @ cents.T
+    best = sims.max(axis=1)
+    got = np.array(out1.column("cos").to_pylist())
+    order = np.argsort(emb.column("vec_id").to_numpy())
+    assert np.allclose(got, q._round6_half_away(best[order]), atol=1e-9)
