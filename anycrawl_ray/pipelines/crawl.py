@@ -622,11 +622,15 @@ def run_crawl_relaxed(
 
     Politeness: ``opts.per_host_cap`` is honored per CHUNK (each dispatch
     admits at most cap URLs of one host; the rest defer at the frontier
-    head) — best-effort rate shaping, NOT the conformance wave semantics;
-    the actor-based politeness mode is not supported here.
+    head) — best-effort rate shaping, NOT the conformance wave semantics.
+    With ``politeness="actors"`` admission instead routes through the
+    sharded token-bucket PolitenessSet on a REAL monotonic clock: each host
+    is fetched at most ``per_host_cap``/second in wall time (burst = cap) —
+    the semantics a pipelined crawler actually wants at scale, where there
+    is no wave period to count. Denied rows defer at the frontier head;
+    the crawl still visits the full page set (tested), only its pacing
+    changes.
     """
-    if cfg.politeness != "driver":
-        raise ValueError("relaxed mode does not support politeness actors")
     cfg = _resolve_stream_order(cfg)
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
     seen = SeenSet(cfg.n_seen_shards, store_dir=cfg.seen_store_dir,
@@ -635,6 +639,16 @@ def run_crawl_relaxed(
     out = CrawlOutput(spans_dir=cfg.spans_out_dir)
     counters_rows: list[dict] = []
     ctx = make_job_context(seed_url, opts, cfg)
+
+    politeness_set = None
+    if cfg.politeness == "actors" and opts.per_host_cap > 0:
+        from ..state.politeness import PolitenessSet
+
+        politeness_set = PolitenessSet(
+            cfg.n_politeness_shards,
+            default_rate_per_sec=float(opts.per_host_cap),
+            burst=float(opts.per_host_cap),
+        )
 
     owns_executor = executor is None
     if owns_executor:
@@ -663,9 +677,16 @@ def run_crawl_relaxed(
 
     def _dispatch_one() -> bool:
         nonlocal dispatched, next_worker, n_chunks
-        rows = frontier.pop_wave(
-            min(chunk_size, opts.limit - dispatched), opts.per_host_cap
-        )
+        want = min(chunk_size, opts.limit - dispatched)
+        if politeness_set is not None:
+            import time as _t
+
+            now = _t.monotonic()
+            rows = frontier.pop_wave_admit(
+                want, lambda hosts: politeness_set.admit(hosts, now)
+            )
+        else:
+            rows = frontier.pop_wave(want, opts.per_host_cap)
         if not rows:
             return False
         urls = [r[0] for r in rows]
@@ -743,6 +764,10 @@ def run_crawl_relaxed(
             if not in_flight:
                 if len(frontier) == 0 or dispatched >= opts.limit:
                     break
+                if politeness_set is not None:
+                    import time as _t
+
+                    _t.sleep(0.005)  # all hosts token-starved: wait for refill
                 continue
             done, _ = ray.wait(list(in_flight), num_returns=1)
             for ref in done:
@@ -768,6 +793,8 @@ def run_crawl_relaxed(
     finally:
         if owns_executor:
             executor.shutdown()
+        if politeness_set is not None:
+            politeness_set.shutdown()
         seen.shutdown()
 
 

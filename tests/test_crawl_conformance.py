@@ -258,11 +258,8 @@ def test_relaxed_mode_same_page_set(ray_session, small_corpus):
     assert len(urls2) == len(set(urls2))
     assert set(urls2) <= {u for u, _, _ in golden.order}
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        run_crawl_relaxed(SEED, CrawlOptions(limit=5), small_corpus,
-                          CrawlRunConfig(politeness="actors"))
+    # politeness="actors" is supported in relaxed mode since round 3
+    # (real-clock token buckets) — coverage in test_politeness_mode.py
 
 
 def test_relaxed_checkpoint_resume_same_page_set(ray_session, small_corpus, tmp_path):
@@ -429,10 +426,8 @@ def test_relaxed_mode_per_chunk_politeness(ray_session, small_corpus, tmp_path):
         counts = collections.Counter(hostname_of(u) for u in t.column("url").to_pylist())
         assert max(counts.values(), default=0) <= 2, (rd_, counts)
 
-    # politeness actors mode remains unsupported
-    with pytest.raises(ValueError):
-        run_crawl_relaxed(SEED, CrawlOptions(limit=5), small_corpus,
-                          CrawlRunConfig(politeness="actors"))
+    # politeness="actors" (real-clock token buckets) is supported in relaxed
+    # mode since round 3 — coverage in test_politeness_mode.py
 
 
 def test_conformance_randomized_option_matrix(ray_session, small_corpus):

@@ -37,3 +37,45 @@ def test_host_skew_lineage_and_cap_effect(ray_session, small_corpus):
     # host_stats rows: (round, host, top_count, share)
     assert max(c for _, _, c, _ in uncapped.host_stats) > 3  # hot host floods
     assert max(c for _, _, c, _ in capped.host_stats) <= 3   # cap bounds it
+
+
+def test_relaxed_actor_politeness_full_page_set(ray_session, small_corpus):
+    """Relaxed mode + token-bucket politeness actors: with a generous rate
+    the crawl still visits the exact reference page SET (pacing, not
+    coverage, is what politeness changes)."""
+    from anycrawl_ray.corpus import CorpusIndex
+    from anycrawl_ray.pipelines.crawl import run_crawl_relaxed
+    from anycrawl_ray.refmodel import SyntheticFetcher, run_reference_crawl
+
+    opts = CrawlOptions(limit=10_000, strategy="all", per_host_cap=1000)
+    golden = run_reference_crawl(
+        SEED, CrawlOptions(limit=10_000, strategy="all"),
+        SyntheticFetcher(CorpusIndex(small_corpus)))
+    out = run_crawl_relaxed(
+        SEED, opts, small_corpus,
+        CrawlRunConfig(job_id="rlx-pol", politeness="actors",
+                       n_fetch_workers=2, n_seen_shards=2))
+    assert {o[0] for o in out.order} == {o[0] for o in golden.order}
+    assert out.completed + out.failed == golden.completed + golden.failed
+
+
+def test_relaxed_actor_politeness_rate_limits_wall_clock(ray_session, small_corpus):
+    """A single-host crawl at rate R with burst B must take at least
+    (pages - B) / R wall seconds — the token buckets really pace dispatch."""
+    import time
+
+    from anycrawl_ray.pipelines.crawl import run_crawl_relaxed
+
+    rate = 20
+    limit = 50
+    opts = CrawlOptions(limit=limit, strategy="same-hostname", per_host_cap=rate)
+    t0 = time.monotonic()
+    out = run_crawl_relaxed(
+        SEED, opts, small_corpus,
+        CrawlRunConfig(job_id="rlx-rate", politeness="actors",
+                       n_fetch_workers=2, n_seen_shards=2))
+    elapsed = time.monotonic() - t0
+    pages = out.completed + out.failed
+    assert pages > rate  # enough pages that the bucket must refill
+    floor = (pages - rate) / rate
+    assert elapsed >= 0.8 * floor, (elapsed, pages, floor)
