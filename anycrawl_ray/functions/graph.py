@@ -1,0 +1,169 @@
+"""Distributed connected components — sharded min-label propagation actors.
+
+The dedup family reduces near-dup PAIRS to clusters. ``q_dedup_keep_best``
+does that with a driver-side union-find, which is fine while the pair list
+is output-sized; this module is the scale path when the near-dup graph
+itself is too large for one process. It is the "stateful actor stage"
+tier of the custom-operator ladder: per-round Ray Data shuffles are the
+wrong tool for an iterative fixpoint (each round pays dataset/shuffle
+setup far exceeding the work), so labels and arcs live SHARDED in actors
+and each round is one batched message exchange:
+
+- partitioning: node n lives on shard ``hash(n) % n_shards``; arc
+  (src, dst) is stored on ``shard(dst)`` — so every arc can read
+  ``label(dst)`` locally.
+- round: every shard emits, for each stored arc, the message
+  ``(src, label(dst))``, grouped by the TARGET shard of ``src``
+  (vectorized numpy; one Arrow table per target). Messages travel
+  shard->shard through the object store — ``emit`` uses
+  ``num_returns=n_shards`` so the driver only routes ObjectRefs, never
+  the tables. ``apply`` takes the per-node min of incoming candidates
+  and its own label and reports how many labels changed.
+- termination: rounds repeat until no shard changes a label (exact
+  fixpoint) or ``max_iters``. Convergence is O(component diameter);
+  near-dup clusters are near-cliques through their representative, so a
+  handful of rounds suffice. (A pointer-jumping variant would make this
+  O(log diameter) at the cost of a children-index exchange; not needed
+  for the dedup-graph use case.)
+
+Result: label(n) = min node id of n's component (the same labeling the
+driver union-find in ``q_dedup_keep_best`` produces — equality-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_PK = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing multiplier (public)
+
+
+def _shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    return (
+        ((ids.astype(np.uint64) * _PK) >> np.uint64(40)).astype(np.int64) % n_shards
+    )
+
+
+class LabelShardCore:
+    """One shard: labels for its nodes + arcs whose dst lives here."""
+
+    def __init__(self, shard_id: int, n_shards: int):
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        self.labels: dict[int, int] = {}
+        self.arc_src = np.zeros(0, dtype=np.int64)
+        self.arc_dst = np.zeros(0, dtype=np.int64)
+
+    def load(self, nodes: pa.Table, arcs: pa.Table) -> None:
+        ids = nodes.column("node").to_numpy()
+        self.labels.update({int(i): int(i) for i in ids})
+        self.arc_src = np.concatenate([self.arc_src, arcs.column("src").to_numpy()])
+        self.arc_dst = np.concatenate([self.arc_dst, arcs.column("dst").to_numpy()])
+
+    def emit(self):
+        """Per stored arc: message (src, label(dst)), grouped by shard(src).
+        Returns n_shards Arrow tables (empty where no messages)."""
+        if len(self.arc_src) == 0:
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "cand": pa.array([], pa.int64())})
+            out = [empty] * self.n_shards
+            return out if self.n_shards > 1 else out[0]
+        lab = np.fromiter(
+            (self.labels[int(d)] for d in self.arc_dst), np.int64, len(self.arc_dst)
+        )
+        tgt = _shard_of(self.arc_src, self.n_shards)
+        out = []
+        for t in range(self.n_shards):
+            m = tgt == t
+            out.append(
+                pa.table({"node": pa.array(self.arc_src[m], pa.int64()),
+                          "cand": pa.array(lab[m], pa.int64())})
+            )
+        return out if self.n_shards > 1 else out[0]
+
+    def apply(self, *msg_tables: pa.Table) -> int:
+        """Min-merge incoming candidates into local labels; return the
+        number of labels that changed this round."""
+        parts = [t for t in msg_tables if t is not None and t.num_rows]
+        if not parts:
+            return 0
+        t = pa.concat_tables(parts)
+        nodes = t.column("node").to_numpy()
+        cands = t.column("cand").to_numpy()
+        # vectorized per-node min over the message batch
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, cands_s = nodes[order], cands[order]
+        uniq, starts = np.unique(nodes_s, return_index=True)
+        mins = np.minimum.reduceat(cands_s, starts)
+        changed = 0
+        for n, c in zip(uniq.tolist(), mins.tolist()):
+            if c < self.labels[n]:
+                self.labels[n] = c
+                changed += 1
+        return changed
+
+    def dump(self) -> pa.Table:
+        items = sorted(self.labels.items())
+        return pa.table(
+            {"node": pa.array([k for k, _ in items], pa.int64()),
+             "component": pa.array([v for _, v in items], pa.int64())}
+        )
+
+
+LabelShard = ray.remote(LabelShardCore)
+
+
+def connected_components(
+    edges: pa.Table, *, a_col: str = "a_id", b_col: str = "b_id",
+    n_shards: int = 8, max_iters: int = 10_000,
+) -> pa.Table:
+    """(node, component) for every node appearing in ``edges``; component =
+    the minimum node id of its connected component.
+
+    ``edges`` is the (output-sized) pair table; loading partitions it
+    across shards in one vectorized pass. At even larger scale the load
+    step would stream per-shard arc tables straight from a Dataset write —
+    the actor protocol is unchanged.
+    """
+    u = edges.column(a_col).to_numpy()
+    v = edges.column(b_col).to_numpy()
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    all_nodes = np.unique(src)
+    if len(all_nodes) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+
+    shards = [LabelShard.options(num_cpus=0.25).remote(i, n_shards)
+              for i in range(n_shards)]
+    try:
+        node_shard = _shard_of(all_nodes, n_shards)
+        arc_shard = _shard_of(dst, n_shards)
+        ray.get([
+            shards[s].load.remote(
+                pa.table({"node": pa.array(all_nodes[node_shard == s], pa.int64())}),
+                pa.table({"src": pa.array(src[arc_shard == s], pa.int64()),
+                          "dst": pa.array(dst[arc_shard == s], pa.int64())}),
+            )
+            for s in range(n_shards)
+        ])
+        for _ in range(max_iters):
+            # emit: refs only — message tables go shard->shard via plasma
+            if n_shards > 1:
+                emit_refs = [
+                    s.emit.options(num_returns=n_shards).remote() for s in shards
+                ]
+            else:
+                emit_refs = [[s.emit.remote()] for s in shards]
+            changed_refs = [
+                shards[t].apply.remote(*[emit_refs[s][t] for s in range(n_shards)])
+                for t in range(n_shards)
+            ]
+            if sum(ray.get(changed_refs)) == 0:
+                break
+        out = pa.concat_tables(ray.get([s.dump.remote() for s in shards]))
+        return out.sort_by("node")
+    finally:
+        for s in shards:
+            ray.kill(s)

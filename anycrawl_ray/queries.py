@@ -1347,6 +1347,18 @@ def q_dedup_keep_best(sf_dir: str):
     )
 
 
+def q_graph_components(sf_dir: str):
+    """Distributed connected components over the minhash near-dup pair
+    graph (functions/graph.py: sharded min-label-propagation actors — the
+    scale path for cluster formation that q_dedup_keep_best's driver
+    union-find stands in for at output-sized pair counts; label parity
+    between the two is pinned by tests/test_graph.py)."""
+    from .functions.graph import connected_components
+
+    pairs = q_minhash_dedup(sf_dir)
+    return connected_components(pairs, n_shards=4)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal stub stage: actor-pool decode/feature-extract plumbing."""
     from .stages.multimodal import MediaFeatureExtractor, synth_media_table
@@ -1834,6 +1846,7 @@ def build_queries() -> dict[str, Callable]:
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
+        "graph_components": q_graph_components,
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
         "monitor_diff": q_monitor_diff,
