@@ -186,7 +186,8 @@ def bench_queries() -> dict[str, float]:
         "counters_by_type", "dedup_exact", "join_fanout", "lineitem_pricing",
         "token_count", "language_id", "quality_score", "minhash_dedup",
         "simhash_dedup", "ann_cosine", "events_daily", "cache_lookup",
-        "revenue_topk", "webhook_events",
+        "revenue_topk", "webhook_events", "train_split", "doc_clusters",
+        "graph_components",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}
