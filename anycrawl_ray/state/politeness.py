@@ -71,12 +71,40 @@ class PolitenessCore:
                 "sitemaps": list(row.get("sitemaps") or []),
             }
 
+    def load_robots_text(self, host: str, text: str,
+                         user_agent: str = "anycrawl") -> None:
+        """Full RFC 9309 robots BODY for a host (the real-world S9 path):
+        wildcard Allow/Disallow with longest-match precedence, Crawl-delay
+        feeding the token bucket, Sitemap lines into the cache. Takes
+        precedence over the prefix-rule table for that host."""
+        from ..functions.robots import parse_robots
+
+        policy = parse_robots(text, user_agent)
+        rate = (1.0 / policy.crawl_delay) if policy.crawl_delay else self.default_rate
+        entry = self.rules.setdefault(host, {"disallow": [], "rate": rate,
+                                             "sitemaps": []})
+        entry["policy"] = policy
+        entry["rate"] = rate
+        if policy.sitemaps:
+            entry["sitemaps"] = list(policy.sitemaps)
+
     def allowed(self, urls: list[str]) -> np.ndarray:
-        """Robots path-prefix check (matches refmodel.robots_disallowed)."""
+        """Robots check: hosts with a parsed RFC 9309 policy use full
+        longest-match semantics; prefix-rule hosts keep the reference
+        model's startswith semantics (refmodel.robots_disallowed — the
+        crawl conformance contract)."""
         out = np.ones(len(urls), dtype=bool)
         for i, u in enumerate(urls):
             rule = self.rules.get(hostname_of(u))
-            if not rule or not rule["disallow"]:
+            if not rule:
+                continue
+            policy = rule.get("policy")
+            if policy is not None:
+                from ..functions.robots import is_url_allowed
+
+                out[i] = is_url_allowed(policy, u)
+                continue
+            if not rule["disallow"]:
                 continue
             try:
                 path = urlsplit(u).path or "/"
@@ -169,6 +197,15 @@ class PolitenessSet:
         for mask, g in zip(ray.get(refs), idxs):
             out[g] = mask
         return out
+
+    def load_robots_text(self, host: str, text: str,
+                         user_agent: str = "anycrawl") -> None:
+        """Route a fetched robots.txt body to its host's shard (RFC 9309)."""
+        groups = self._route_hosts([host])
+        for s, g in enumerate(groups):
+            if g:
+                ray.get(self.shards[s].load_robots_text.remote(host, text, user_agent))
+                return
 
     def sitemaps(self, host: str) -> list[str]:
         groups = self._route_hosts([host])
