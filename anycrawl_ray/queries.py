@@ -1197,6 +1197,40 @@ def q_doc_clusters(sf_dir: str):
     ).sort_by("vec_id")
 
 
+# PII patterns (RE2 syntax — evaluated by Arrow's RE2 on the Ray side and
+# DuckDB's RE2 in the oracle, so semantics match exactly)
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing — the training-corpus hygiene staple: mask emails,
+    IPv4 addresses and phone-shaped numbers (in that order: masking emails
+    first keeps their digit runs out of the phone pattern) and count each
+    per document. Fully vectorized: one `pyarrow.compute`
+    count/replace_substring_regex kernel chain per batch, zero Python in
+    the row path."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        n_email = pc.count_substring_regex(texts, _PII_EMAIL)
+        n_ip = pc.count_substring_regex(texts, _PII_IP)
+        n_phone = pc.count_substring_regex(texts, _PII_PHONE)
+        masked = pc.replace_substring_regex(texts, _PII_EMAIL, "<EMAIL>")
+        masked = pc.replace_substring_regex(masked, _PII_IP, "<IP>")
+        masked = pc.replace_substring_regex(masked, _PII_PHONE, "<PHONE>")
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_email": pc.cast(n_email, pa.int64()),
+             "n_ip": pc.cast(n_ip, pa.int64()),
+             "n_phone": pc.cast(n_phone, pa.int64()),
+             "masked": masked}
+        )
+
+    return _text_map(sf_dir, f)
+
+
 _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
@@ -1843,6 +1877,7 @@ def build_queries() -> dict[str, Callable]:
         "proxy_ladder": q_proxy_ladder,
         "train_split": q_train_split,
         "credits_charges": q_credits_charges,
+        "pii_scrub": q_pii_scrub,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2112,6 +2147,20 @@ def build_oracle_sql() -> dict[str, str]:
                         WHEN ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 < 9
                             THEN 'validation'
                         ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        # same RE2 patterns, same replace order (email -> ip -> phone);
+        # counts are over the ORIGINAL text on both sides
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+                   len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+                   len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g'),
+                     '{_PII_PHONE}', '<PHONE>', 'g') AS masked
             FROM documents ORDER BY doc_id
         """,
         # closed form of q_credits_charges' option matrix: base 1 + stealth 2

@@ -161,3 +161,39 @@ def test_credits_query_matches_oracle(ray_session):
     assert mine.column("doc_id").to_pylist() == ora.column("doc_id").to_pylist()
     assert mine.column("credits").to_pylist() == ora.column("credits").to_pylist()
     assert mine.column("n_items").to_pylist() == ora.column("n_items").to_pylist()
+
+
+def test_pii_scrub_matches_oracle(ray_session):
+    from anycrawl_ray import queries as q
+
+    SF = "/root/testdata/sf0.001"
+    mine = q.q_pii_scrub(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(q.build_oracle_sql()["pii_scrub"]).fetch_arrow_table()
+    for col in ("doc_id", "n_email", "n_ip", "n_phone", "masked"):
+        assert mine.column(col).to_pylist() == ora.column(col).to_pylist(), col
+
+
+def test_pii_scrub_masks_synthetic_pii(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from anycrawl_ray import queries as q
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(
+             ["contact bob.smith+x@corp.example.com or 10.0.0.1 tel +1 555-010-9999",
+              "clean document"], pa.string())}
+    )
+    pqw.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q.q_pii_scrub(str(tmp_path))
+    row = out.to_pylist()[0]
+    assert row["n_email"] == 1 and row["n_ip"] == 1 and row["n_phone"] == 1
+    assert "<EMAIL>" in row["masked"] and "<IP>" in row["masked"]
+    assert "<PHONE>" in row["masked"]
+    assert "bob.smith" not in row["masked"] and "10.0.0.1" not in row["masked"]
+    assert out.to_pylist()[1]["masked"] == "clean document"
