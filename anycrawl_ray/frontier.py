@@ -137,22 +137,44 @@ class Frontier:
         self._count -= len(wave)
         return wave
 
-    def pop_wave_admit(self, batch_size: int, admit_fn) -> list[tuple[str, int, int, int]]:
+    def pop_wave_admit(self, batch_size: int, admit_fn,
+                       force_progress: bool = True,
+                       max_scan: int | None = None) -> list[tuple[str, int, int, int]]:
         """Wave formation gated by an external admitter (politeness actors).
 
         ``admit_fn(hosts) -> bool mask`` consumes per-host tokens; denied rows
         keep their order at the head (same deferral semantics as the
         ``per_host_cap`` path — with rate=burst=cap and one bucket period per
         round the two are exactly equivalent, see tests).
+
+        ``force_progress`` (conformance default): on full deferral, admit the
+        head row anyway — the per-round wave must never stall, matching the
+        per_host_cap path where the cap resets each round. Real-clock callers
+        (relaxed mode) pass False so an all-starved frontier returns an EMPTY
+        wave and the caller waits for token refill instead of bypassing the
+        rate limit.
+
+        ``max_scan`` (optional): stop scanning after examining this many rows.
+        The conformance path must scan the WHOLE frontier (pop_wave /
+        refmodel.form_wave do — an early break forms a different wave whenever
+        >batch_size capped rows precede an admissible host, round-1 ADVICE);
+        relaxed callers have no such equivalence obligation and cap the scan
+        to avoid O(frontier) pops per dispatch while pacing.
         """
         wave: list = []
         deferred: list = []
+        scanned = 0
         while len(wave) < batch_size:
             self._refill()
             if not self._head:
                 break
+            if max_scan is not None and scanned >= max_scan:
+                break
             take = min(batch_size - len(wave), len(self._head))
+            if max_scan is not None:
+                take = min(take, max_scan - scanned)
             chunk = [self._head.popleft() for _ in range(take)]
+            scanned += len(chunk)
             mask = admit_fn([hostname_of(r[0]) for r in chunk])
             admitted_any = False
             for row, ok in zip(chunk, mask):
@@ -163,12 +185,8 @@ class Frontier:
                     deferred.append(row)
             if not admitted_any and not self._head and not self._segments and not self._tail:
                 break  # nothing left to scan
-            # no deep-deferral early break: pop_wave / refmodel.form_wave scan
-            # the whole frontier for admissible hosts, and the exact
-            # politeness-mode equivalence depends on doing the same here
-            # (round-1 ADVICE: an early break forms a different wave whenever
-            # >4*batch_size capped rows precede an admissible host)
-        if not wave and deferred:  # progress guarantee on full deferral
+        if force_progress and not wave and deferred:
+            # progress guarantee on full deferral (conformance rounds only)
             wave.append(deferred.pop(0))
         self._head.extendleft(reversed(deferred))
         self._count -= len(wave)

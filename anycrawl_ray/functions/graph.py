@@ -148,6 +148,7 @@ def connected_components(
             )
             for s in range(n_shards)
         ])
+        converged = False
         for _ in range(max_iters):
             # emit: refs only — message tables go shard->shard via plasma
             if n_shards > 1:
@@ -161,7 +162,15 @@ def connected_components(
                 for t in range(n_shards)
             ]
             if sum(ray.get(changed_refs)) == 0:
+                converged = True
                 break
+        if not converged:
+            # never return silently-wrong labels: a component wider than
+            # max_iters rounds would carry multiple distinct ids
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(component diameter exceeds max_iters); raise max_iters"
+            )
         out = pa.concat_tables(ray.get([s.dump.remote() for s in shards]))
         return out.sort_by("node")
     finally:

@@ -243,10 +243,9 @@ def _remove_node(node: _Node) -> None:
     node.parent = None
 
 
-_VOID = frozenset(
-    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
-     "meta", "param", "source", "track", "wbr"}
-)
+# single void-element catalog shared with the parser (serializer and parser
+# must agree or round-tripping affected tags breaks)
+from .serp import _VOID  # noqa: E402
 
 
 def _esc_text(s: str) -> str:

@@ -28,6 +28,11 @@ _PRIVATE_V4 = (
     re.compile(r"^172\.(1[6-9]|2[0-9]|3[0-1])\."),  # 172.16.0.0/12
     re.compile(r"^192\.168\."),                   # 192.168.0.0/16
     re.compile(r"^169\.254\."),                   # link-local
+    # strictness extensions beyond Webhook.ts:14-17 (which checks only the
+    # literal 127.0.0.1): the whole loopback /8 and the unspecified address
+    # are equally unsafe SSRF targets
+    re.compile(r"^127\."),                        # 127.0.0.0/8
+    re.compile(r"^0\.0\.0\.0$"),
 )
 
 

@@ -112,8 +112,6 @@ def parse_robots(text: str, user_agent: str = "anycrawl") -> RobotsPolicy:
     for g in groups:
         for agent in g.agents:
             if agent == "*":
-                if best is None or best[0] < 0:
-                    pass
                 if best is None:
                     best = (-1, g)  # fallback, outranked by any token match
             elif agent and agent in ua:

@@ -174,16 +174,39 @@ class SearchEngineRegistry:
             return bool(self.searxng_url)
         return False
 
+    def get_available_engines(self) -> list[str]:
+        """Enabled-list ∩ known ∩ configured (SearchService.ts:100-110)."""
+        known = ["google", "searxng"]
+        cands = (
+            [e.lower() for e in self.enabled_engines if e.lower() in known]
+            if self.enabled_engines else known
+        )
+        return [e for e in cands if self._is_valid(e)]
+
+    def get_default_engine(self) -> str:
+        """Configured default when AVAILABLE, else the first available
+        engine (SearchService.ts:57-75). NB reference parity: validity, not
+        enabled-list membership, is what's checked here — an engine-less
+        request can resolve to a valid default outside the enabled list."""
+        d = (self.default_engine or "google").lower()
+        if self._is_valid(d):
+            return d
+        avail = self.get_available_engines()
+        return avail[0] if avail else "google"
+
     def resolve_engine_name(self, requested: str | None) -> str:
+        """SearchService.ts:117-187 semantics, including the empty/'default'/
+        invalid -> getDefaultEngine() path (which falls back to the first
+        available engine when the configured default is unconfigured)."""
         name = (requested or "").lower().strip()
         if not name or name == "default" or not self._is_valid(name):
-            return self.default_engine
-        if self.enabled_engines:
+            return self.get_default_engine()
+        if self.default_engine and self.enabled_engines:
             if len(self.enabled_engines) == 1:
                 return self.enabled_engines[0]  # single-engine forcing
             if name in self.enabled_engines:
                 return name
-            return self.default_engine
+            return self.default_engine.lower()
         return name
 
     def get_engine(self, requested: str | None):

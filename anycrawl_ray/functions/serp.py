@@ -37,7 +37,11 @@ class _Node:
             return ""
         parts = []
         for kind, payload in self.content:
-            parts.append(payload if kind == "t" else payload.text(skip_tags))
+            if kind == "t":
+                parts.append(payload)
+            elif kind == "n":
+                parts.append(payload.text(skip_tags))
+            # "c" (comment, keep_comments=True trees) contributes no text
         return "".join(parts)
 
     def find_all(self, pred) -> list["_Node"]:

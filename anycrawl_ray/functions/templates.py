@@ -79,17 +79,9 @@ _ESC = "\x00AC_ESCAPED_LEFT\x00"
 
 
 def _get_by_path(obj, path: str):
-    cur = obj
-    for p in path.split("."):
-        if cur is None:
-            return None
-        try:
-            cur = cur[p] if isinstance(cur, dict) else None
-        except (KeyError, TypeError):
-            return None
-        if cur is None:
-            return None
-    return cur
+    # same dotted-path walk as variable-mapping resolution — one helper
+    # serves both render-time and mapping-time lookups
+    return get_nested_value(obj, path) if isinstance(obj, dict) else None
 
 
 def _to_string_value(v) -> str:

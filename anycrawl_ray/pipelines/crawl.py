@@ -682,8 +682,12 @@ def run_crawl_relaxed(
             import time as _t
 
             now = _t.monotonic()
+            # no force_progress: an all-starved frontier must return EMPTY so
+            # the dispatch loop waits for token refill (never bypass the rate
+            # limit); bounded scan — no refmodel equivalence to preserve here
             rows = frontier.pop_wave_admit(
-                want, lambda hosts: politeness_set.admit(hosts, now)
+                want, lambda hosts: politeness_set.admit(hosts, now),
+                force_progress=False, max_scan=4 * want,
             )
         else:
             rows = frontier.pop_wave(want, opts.per_host_cap)
@@ -767,7 +771,7 @@ def run_crawl_relaxed(
                 if politeness_set is not None:
                     import time as _t
 
-                    _t.sleep(0.005)  # all hosts token-starved: wait for refill
+                    _t.sleep(0.02)  # all hosts token-starved: wait for refill
                 continue
             done, _ = ray.wait(list(in_flight), num_returns=1)
             for ref in done:

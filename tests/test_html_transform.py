@@ -251,3 +251,13 @@ def test_extract_formats_include_tags_drive_markdown():
 def test_selector_errors_are_loud():
     with pytest.raises(ValueError):
         transform_html("<p>x</p>", include_tags=["p:nth-child(2)"])
+
+
+def test_text_skips_comments_in_kept_tree():
+    """Regression (code review): .text() on a keep_comments=True tree must
+    skip ("c", str) entries instead of crashing."""
+    from anycrawl_ray.functions.serp import parse_html
+
+    root = parse_html("<p>a<!--hidden-->b</p>", keep_comments=True)
+    p = root.find_all(lambda n: n.tag == "p")[0]
+    assert p.text() == "ab"

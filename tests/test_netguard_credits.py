@@ -24,6 +24,8 @@ from anycrawl_ray.functions import webhook as wh
     "http://[fe80::1]/h",
     "http://[fc00::1]/h",
     "http://[fd12::1]/h",
+    "http://127.0.0.2/h",
+    "http://0.0.0.0:8080/h",
     "not a url at all",
     "http://",
 ])

@@ -79,3 +79,26 @@ def test_relaxed_actor_politeness_rate_limits_wall_clock(ray_session, small_corp
     assert pages > rate  # enough pages that the bucket must refill
     floor = (pages - rate) / rate
     assert elapsed >= 0.8 * floor, (elapsed, pages, floor)
+
+
+def test_relaxed_actor_politeness_no_forced_admission(ray_session, small_corpus):
+    """Adversarial pacing check (code-review finding): fetches much faster
+    than the refill period must NOT bypass the bucket via the conformance
+    progress guarantee — relaxed dispatch waits for refill instead."""
+    import time
+
+    from anycrawl_ray.pipelines.crawl import run_crawl_relaxed
+
+    rate = 5
+    limit = 25
+    opts = CrawlOptions(limit=limit, strategy="same-hostname", per_host_cap=rate)
+    t0 = time.monotonic()
+    out = run_crawl_relaxed(
+        SEED, opts, small_corpus,
+        CrawlRunConfig(job_id="rlx-noforce", politeness="actors",
+                       n_fetch_workers=2, n_seen_shards=2))
+    elapsed = time.monotonic() - t0
+    pages = out.completed + out.failed
+    assert pages > rate
+    floor = (pages - rate) / rate
+    assert elapsed >= 0.9 * floor, (elapsed, pages, floor)

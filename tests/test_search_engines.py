@@ -104,3 +104,25 @@ def test_effective_pages_direct_limit():
     assert SearchEngineRegistry.effective_pages(Direct(), {"limit": 25}) == 1
     assert SearchEngineRegistry.effective_pages(g, {"pages": 2}) == 2
     assert SearchEngineRegistry.effective_pages(g, {"limit": 1000}) == 20  # cap
+
+
+def test_default_resolution_falls_back_when_default_unavailable():
+    """Reference parity (SearchService.ts:57-75): engine-less requests go
+    through getDefaultEngine, which falls back to the first AVAILABLE
+    engine when the configured default is unconfigured."""
+    from anycrawl_ray.functions.search_engines import SearchEngineRegistry
+
+    # default searxng but no URL -> google (always available)
+    reg = SearchEngineRegistry(default_engine="searxng", searxng_url=None)
+    assert reg.resolve_engine_name(None) == "google"
+    assert reg.resolve_engine_name("default") == "google"
+    assert reg.resolve_engine_name("searxng") == "google"  # invalid request
+    # default searxng WITH url -> stays searxng
+    reg2 = SearchEngineRegistry(default_engine="searxng",
+                                searxng_url="http://sx.test")
+    assert reg2.resolve_engine_name(None) == "searxng"
+    # enabled list restricted to searxng: available list honors it
+    reg3 = SearchEngineRegistry(default_engine="searxng", searxng_url=None,
+                                enabled_engines=("searxng",))
+    assert reg3.get_available_engines() == []  # searxng invalid, google not enabled
+    assert reg3.resolve_engine_name(None) == "google"  # terminal fallback
