@@ -142,6 +142,84 @@ class SearxngSearchEngine:
         return out
 
 
+class ACSearchEngine:
+    """AC-Engine: JSON API with arbitrary direct limit in one request
+    (packages/search/src/engines/ACEngine.ts:1-120)."""
+
+    name = "ac-engine"
+    supports_direct_limit = True
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def build_task(self, options: dict) -> dict:
+        params = [("q", str(options["query"]))]
+        if isinstance(options.get("offset"), (int, float)):
+            params.append(("start", str(int(options["offset"]))))
+        # prefer limit; absent but page present -> limit = page * 10
+        limit = options.get("limit")
+        page = options.get("page")
+        eff = None
+        if isinstance(limit, (int, float)) and limit > 0:
+            eff = int(limit)
+        elif isinstance(page, (int, float)) and page > 0:
+            eff = int(page) * 10
+        if eff is not None:
+            params.append(("limit", str(eff)))
+        for src_key, dst_key in (("lang", "lang"), ("country", "country"),
+                                 ("timeRange", "timeRange"),
+                                 ("sources", "sources")):
+            if options.get(src_key):
+                params.append((dst_key, str(options[src_key])))
+        if options.get("safe_search") is not None:
+            params.append(("safe_search", str(options["safe_search"])))
+        return {
+            "url": f"{self.base_url}/search?{urlencode(params)}",
+            "headers": {"Accept": "application/json"},
+            "cookies": {},
+            "require_proxy": False,
+        }
+
+    def parse(self, payload, request=None) -> list[dict]:
+        try:
+            data = json.loads(payload) if isinstance(payload, str) else payload
+        except (json.JSONDecodeError, TypeError):
+            return []
+        items = data.get("results") if isinstance(data, dict) else None
+        out: list[dict] = []
+        for item in items if isinstance(items, list) else []:
+            if not item.get("url"):
+                continue
+            category = item.get("category") or "web"
+            base = {
+                "title": item.get("title") or "",
+                "url": item["url"],
+                "description": item.get("description") or item.get("snippet") or "",
+                "source": item.get("source") or "AC-Engine",
+            }
+            if category == "images":
+                out.append(
+                    {**base, "category": "images",
+                     "imageUrl": item.get("imageUrl"),
+                     "imageWidth": item.get("imageWidth"),
+                     "imageHeight": item.get("imageHeight"),
+                     "position": item.get("position"),
+                     "thumbnail_src": item.get("thumbnail_src"),
+                     "img_format": item.get("img_format"),
+                     "filesize": item.get("filesize")}
+                )
+            elif category == "news":
+                out.append(
+                    {**base, "category": "news",
+                     "snippet": item.get("snippet"),
+                     "date": item.get("date"),
+                     "imageUrl": item.get("imageUrl")}
+                )
+            else:
+                out.append({**base, "category": "web"})
+        return out
+
+
 class SearchEngineRegistry:
     """Engine selection + caching (SearchService.ts:117-198)."""
 
@@ -150,10 +228,12 @@ class SearchEngineRegistry:
         default_engine: str = "google",
         enabled_engines: tuple = (),
         searxng_url: str | None = None,
+        ac_engine_url: str | None = None,
     ):
         self.default_engine = default_engine.lower()
         self.enabled_engines = tuple(e.lower() for e in enabled_engines)
         self.searxng_url = searxng_url
+        self.ac_engine_url = ac_engine_url
         self._cache: dict[str, object] = {}
 
     def _create(self, name: str):
@@ -165,6 +245,12 @@ class SearchEngineRegistry:
                     "SearXNG engine is not available: searxng_url is not configured"
                 )
             return SearxngSearchEngine(self.searxng_url)
+        if name == "ac-engine":
+            if not self.ac_engine_url:
+                raise ValueError(
+                    "AC Engine is not available: ac_engine_url is not configured"
+                )
+            return ACSearchEngine(self.ac_engine_url)
         raise ValueError(f"Unknown engine type: {name}")
 
     def _is_valid(self, name: str) -> bool:
@@ -172,11 +258,13 @@ class SearchEngineRegistry:
             return True
         if name == "searxng":
             return bool(self.searxng_url)
+        if name == "ac-engine":
+            return bool(self.ac_engine_url)
         return False
 
     def get_available_engines(self) -> list[str]:
         """Enabled-list ∩ known ∩ configured (SearchService.ts:100-110)."""
-        known = ["google", "searxng"]
+        known = ["google", "searxng", "ac-engine"]
         cands = (
             [e.lower() for e in self.enabled_engines if e.lower() in known]
             if self.enabled_engines else known

@@ -126,3 +126,46 @@ def test_default_resolution_falls_back_when_default_unavailable():
                                 enabled_engines=("searxng",))
     assert reg3.get_available_engines() == []  # searxng invalid, google not enabled
     assert reg3.resolve_engine_name(None) == "google"  # terminal fallback
+
+
+def test_ac_engine_url_and_parse():
+    """ACEngine.ts parity: direct-limit URL building (limit preferred,
+    page*10 inferred), category dispatch, no-url skip."""
+    import json
+
+    from anycrawl_ray.functions.search_engines import (
+        ACSearchEngine, SearchEngineRegistry)
+
+    e = ACSearchEngine("http://ac.test/")
+    t = e.build_task({"query": "ray data", "limit": 37, "offset": 20,
+                      "lang": "en", "safe_search": 1})
+    assert t["url"].startswith("http://ac.test/search?")
+    assert "q=ray+data" in t["url"] and "limit=37" in t["url"]
+    assert "start=20" in t["url"] and "safe_search=1" in t["url"]
+    assert t["require_proxy"] is False
+    # page -> inferred limit
+    t2 = e.build_task({"query": "x", "page": 3})
+    assert "limit=30" in t2["url"]
+
+    payload = json.dumps({"results": [
+        {"title": "W", "url": "http://a.test/1", "snippet": "s"},
+        {"category": "images", "url": "http://a.test/2", "imageUrl": "http://i",
+         "imageWidth": 10, "imageHeight": 20, "position": 1},
+        {"category": "news", "url": "http://a.test/3", "date": "2026-01-01"},
+        {"title": "no url skipped"},
+    ]})
+    rs = e.parse(payload)
+    assert [r["category"] for r in rs] == ["web", "images", "news"]
+    assert rs[0]["description"] == "s" and rs[0]["source"] == "AC-Engine"
+    assert rs[1]["imageWidth"] == 10 and rs[2]["date"] == "2026-01-01"
+    assert e.parse("not json") == []
+
+    # registry integration: direct-limit engines take one request
+    reg = SearchEngineRegistry(default_engine="ac-engine",
+                               ac_engine_url="http://ac.test")
+    eng = reg.get_engine(None)
+    assert eng.name == "ac-engine"
+    assert reg.effective_pages(eng, {"limit": 200}) == 1
+    # unavailable without URL
+    reg2 = SearchEngineRegistry(default_engine="ac-engine")
+    assert reg2.resolve_engine_name(None) == "google"
