@@ -187,7 +187,7 @@ def bench_queries() -> dict[str, float]:
         "token_count", "language_id", "quality_score", "minhash_dedup",
         "simhash_dedup", "ann_cosine", "events_daily", "cache_lookup",
         "revenue_topk", "webhook_events", "train_split", "doc_clusters",
-        "graph_components",
+        "graph_components", "pii_scrub",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}
