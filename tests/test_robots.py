@@ -101,3 +101,22 @@ def test_politeness_set_routing(ray_session):
         assert ps.sitemaps("h.test")
     finally:
         ps.shutdown()
+
+
+def test_prefix_only_bodies_match_startswith_semantics():
+    """Property bridge between the two robots paths: for bodies with only
+    plain path-prefix Disallow rules (no wildcards/anchors/Allow), the RFC
+    9309 matcher must agree with the reference model's startswith check."""
+    import random
+
+    rng = random.Random(99)
+    prefixes = ["/a/", "/b", "/c/d/", "/long/prefix/path"]
+    body = "User-agent: *\n" + "".join(f"Disallow: {p}\n" for p in prefixes)
+    p = parse_robots(body, "any")
+    for _ in range(200):
+        path = "/" + "/".join(
+            rng.choice(["a", "b", "c", "d", "long", "prefix", "path", "x"])
+            for _ in range(rng.randrange(1, 5))
+        ) + rng.choice(["", "/"])
+        want = not any(path.startswith(pre) for pre in prefixes)
+        assert p.is_allowed(path) is want, path
