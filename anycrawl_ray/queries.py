@@ -1231,6 +1231,169 @@ def q_pii_scrub(sf_dir: str):
     return _text_map(sf_dir, f)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021, public): per-doc
+    duplicate-bigram / top-bigram / duplicate-trigram occurrence fractions.
+    Embarrassingly parallel — one vectorized kernel per batch (numpy gram
+    construction over Arrow list offsets + one pandas groupby), no shuffle;
+    at 100 TB this is a pure streaming map."""
+    from .functions import hygiene as hy
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        n_bi, dup_bi, top_bi, dup_tri = hy.repetition_stats(texts)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_bigrams": pa.array(n_bi, pa.int64()),
+             "dup_bigram_frac": pa.array(_round6_half_away(dup_bi), pa.float64()),
+             "top_bigram_frac": pa.array(_round6_half_away(top_bi), pa.float64()),
+             "dup_trigram_frac": pa.array(_round6_half_away(dup_tri), pa.float64())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+_SPAN_K = 4  # tokens per dedup span (C4 uses three-sentence spans; a fixed
+             # k-token chunk keeps the oracle closed-form)
+
+
+def q_span_dedup(sf_dir: str):
+    """C4-style cross-document span removal (Raffel et al. 2020 drop
+    repeated three-sentence spans; here the unit is a 4-token chunk): a span
+    is "common" when it occurs in >=2 distinct documents; every occurrence
+    of a common span is removed and the doc's kept spans are re-joined in
+    order.
+
+    Scale shape: explode docs to (doc_id, idx, span) rows inside
+    map_batches (vectorized chunking), then TWO co-partitioned shuffles —
+    by span to mark common ones (reduce-side: no process ever holds the
+    global common-span set), then by doc_id to reassemble. Span rows are
+    ~30 B; both exchanges are hash-partitioned and skew-safe (a hot span
+    value lands in one partition but is counted by a vectorized polars
+    kernel, not a per-group Python call)."""
+    import hashlib
+
+    import polars as pl
+
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        spans, rows, idx = hy.chunk_spans(flat, offsets, _SPAN_K)
+        ids = t.column("doc_id").to_numpy()[rows] if len(rows) else rows
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "idx": pa.array(idx, pa.int64()),
+             "span": pa.array(spans, pa.string())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+    def mark(df: pl.DataFrame) -> pl.DataFrame:
+        return df.with_columns(
+            (pl.col("doc_id").n_unique().over("span") >= 2).alias("common")
+        )
+
+    marked = _co_partitioned(exploded, "span", mark)
+
+    def reassemble(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["doc_id", "idx"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_spans"),
+                pl.col("common").sum().cast(pl.Int64).alias("n_common"),
+                pl.col("span").filter(~pl.col("common")).str.join("\n").alias("kept"),
+            )
+        )
+
+    per_doc = _co_partitioned(marked, "doc_id", reassemble)
+
+    def finish(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((k or "").encode()).hexdigest()
+            for k in t.column("kept").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_spans": t.column("n_spans"),
+             "n_common": t.column("n_common"),
+             "kept_hash": pa.array(hashes, pa.string())}
+        )
+
+    out = per_doc.map_batches(finish, batch_format="pyarrow")
+    return _collect(out).sort_by("doc_id")
+
+
+_DECON_N = 3     # gram width: real decontamination runs 8-13-gram overlap
+                 # (GPT-3 appendix C); the synthetic corpus's vocabulary only
+                 # repeats across docs at n=3, so the driver entry exercises
+                 # the machinery there (width is a parameter)
+_DECON_MOD = 97  # doc_id % 97 == 0 defines the synthetic benchmark/eval set
+
+
+def q_decontaminate(sf_dir: str, n: int = _DECON_N):
+    """Benchmark decontamination: flag documents sharing an n-gram with a
+    held-out benchmark set (the standard train/test-overlap check; the
+    benchmark here is the deterministic doc_id %% 97 == 0 slice).
+
+    Scale shape: the benchmark side is tiny by construction (an eval set),
+    so its distinct grams collect to the driver once and broadcast via
+    ``ray.put``; the corpus side is a pure streaming map_batches (vectorized
+    gram construction + one C-speed pandas isin per batch). If the bench
+    set ever outgrew a broadcast, the fallback is the reduce-side semi-join
+    on gram hash that the minhash family already uses
+    (functions/dedup.py:verify_pairs_join)."""
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = t.filter(pa.array(ids % _DECON_MOD == 0))
+        texts = keep.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        grams, _ = hy.ngram_rows(flat, offsets, n)
+        return pa.table({"g": pa.array(pd.unique(grams), pa.string())})
+
+    bench = _collect(ds.map_batches(bench_grams, batch_format="pyarrow"))
+    bench_index = pd.Index(pd.unique(bench.column("g").to_numpy(zero_copy_only=False))) \
+        if bench.num_rows else pd.Index([], dtype=object)
+    bench_ref = ray.put(bench_index)
+
+    def f(t: pa.Table) -> pa.Table:
+        idx = ray.get(bench_ref)  # plasma-cached per worker
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        grams, rows = hy.ngram_rows(flat, offsets, n)
+        df = pd.DataFrame({"d": ids[rows] if len(rows) else rows, "g": grams})
+        df = df[df["d"] % _DECON_MOD != 0].drop_duplicates()
+        if df.empty:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64()),
+                 "n_overlap": pa.array([], pa.int64()),
+                 "contaminated": pa.array([], pa.bool_())}
+            )
+        df["hit"] = df["g"].isin(idx)
+        agg = df.groupby("d").agg(
+            n_grams=("g", "size"), n_overlap=("hit", "sum")
+        ).reset_index()
+        return pa.table(
+            {"doc_id": pa.array(agg["d"].to_numpy(), pa.int64()),
+             "n_grams": pa.array(agg["n_grams"].to_numpy(), pa.int64()),
+             "n_overlap": pa.array(agg["n_overlap"].to_numpy(), pa.int64()),
+             "contaminated": pa.array((agg["n_overlap"] > 0).to_numpy(), pa.bool_())}
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by("doc_id")
+
+
 _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
@@ -1878,6 +2041,9 @@ def build_queries() -> dict[str, Callable]:
         "train_split": q_train_split,
         "credits_charges": q_credits_charges,
         "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "span_dedup": q_span_dedup,
+        "decontaminate": q_decontaminate,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2162,6 +2328,64 @@ def build_oracle_sql() -> dict[str, str]:
                        '{_PII_IP}', '<IP>', 'g'),
                      '{_PII_PHONE}', '<PHONE>', 'g') AS masked
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i + 1]
+                                           || ' ' || toks[i + 2]) AS tg
+                FROM t
+            )
+            SELECT doc_id,
+                   len(bg) AS n_bigrams,
+                   CASE WHEN len(bg) = 0 THEN 0.0 ELSE ROUND(
+                       1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+                   END AS dup_bigram_frac,
+                   CASE WHEN len(bg) = 0 THEN 0.0 ELSE ROUND(
+                       list_max(list_transform(list_distinct(bg),
+                           u -> len(list_filter(bg, x -> x = u))))
+                       / CAST(len(bg) AS DOUBLE), 6)
+                   END AS top_bigram_frac,
+                   CASE WHEN len(tg) = 0 THEN 0.0 ELSE ROUND(
+                       1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE), 6)
+                   END AS dup_trigram_frac
+            FROM g ORDER BY doc_id
+        """,
+        "span_dedup": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            s AS (
+                SELECT doc_id, i,
+                       array_to_string(toks[(i-1)*{_SPAN_K}+1 : (i-1)*{_SPAN_K}+{_SPAN_K}], ' ') AS span
+                FROM t, LATERAL unnest(generate_series(1, len(toks) // {_SPAN_K})) AS u(i)
+            ),
+            c AS (
+                SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN span IN (SELECT span FROM c)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                   md5(COALESCE(string_agg(
+                       CASE WHEN span NOT IN (SELECT span FROM c) THEN span END,
+                       chr(10) ORDER BY i), '')) AS kept_hash
+            FROM s GROUP BY doc_id ORDER BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+                SELECT doc_id, array_to_string(toks[i : i + {_DECON_N - 1}], ' ') AS g
+                FROM t, LATERAL unnest(generate_series(1, len(toks) - {_DECON_N - 1})) AS u(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {_DECON_MOD} = 0),
+            d AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % {_DECON_MOD} <> 0)
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+                   SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+            FROM d LEFT JOIN bench b USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # closed form of q_credits_charges' option matrix: base 1 + stealth 2
         # on doc_id%4==1 + json 3 (6 when html-sourced, doc_id%6==0) on

@@ -104,6 +104,9 @@ SQL_CHECKED = [
     "daily_active_users", "webhook_events", "revenue_topk",
     "customers_no_orders", "events_value_stats", "scheduler_executions",
     "proxy_ladder",
+    "repetition_stats",
+    "span_dedup",
+    "decontaminate",
 ]
 
 
