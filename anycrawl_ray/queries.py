@@ -1394,6 +1394,105 @@ def q_decontaminate(sf_dir: str, n: int = _DECON_N):
     return _collect(out).sort_by("doc_id")
 
 
+_PACK_SEQ_LEN = 8192  # tokens per packed training sequence
+_PACK_RANGE = 1024    # doc_ids per range partition of the prefix-sum scan
+
+
+def q_sequence_pack(sf_dir: str):
+    """Training-sequence packing: lay documents out in doc_id order and
+    assign each to the 8192-token training sequence where its first token
+    lands — i.e. a global prefix sum of token counts, the one common
+    pipeline step that is inherently a SCAN rather than a map or a groupby.
+
+    Distributed scan shape (the textbook two-pass): (1) one streaming
+    map_batches projects each doc to (doc_id, n_tokens, part) where part is
+    a RANGE partition of doc_id — this tiny projection (~24 B/doc) is
+    materialized so the two passes below don't re-tokenize the corpus;
+    (2) per-part token totals (one small groupby) cumsum on the driver into
+    per-part starting offsets (one number per partition — KB at 10^10
+    docs / 10^7-doc ranges); (3) one co-partitioned pass adds the
+    broadcast offset to a vectorized within-part cumsum. No global sort,
+    no driver materialization of per-doc data."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        n = tx.token_counts(texts)
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": pa.array(n, pa.int64()),
+             "part": pa.array(ids // _PACK_RANGE, pa.int64())}
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=2048).materialize()
+
+    part_sums = _collect(
+        proj.groupby("part").aggregate(Sum("n_tokens", alias_name="s"))
+    ).to_pandas().sort_values("part")
+    starts = np.concatenate([[0], np.cumsum(part_sums["s"].to_numpy())[:-1]])
+    offsets = {int(p): int(o) for p, o in zip(part_sums["part"], starts)}
+    off_ref = ray.put(offsets)
+
+    def scan(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = pl.from_arrow(t).sort("doc_id")
+        df = df.with_columns(
+            (pl.col("n_tokens").cum_sum().over("part") - pl.col("n_tokens")
+             + pl.col("part").replace_strict(off, return_dtype=pl.Int64)
+             ).alias("cum_before")
+        )
+        df = df.with_columns(
+            (pl.col("cum_before") // _PACK_SEQ_LEN).alias("seq_id"),
+            (pl.col("cum_before") % _PACK_SEQ_LEN).alias("seq_offset"),
+        )
+        return df.drop("part", "cum_before").to_arrow()
+
+    out = proj.groupby("part").map_groups(scan, batch_format="pyarrow")
+    return _collect(out).sort_by("doc_id")
+
+
+# funnel thresholds: chosen so each stage drops documents on the sf corpora
+_FUNNEL_QUALITY = 0.6
+_FUNNEL_DUP_BI = 0.05
+
+
+def q_corpus_funnel(sf_dir: str):
+    """Chained quality-filter funnel — the composition every training-data
+    pipeline runs (langID → quality → repetition), reported as cumulative
+    retention counts. ONE streaming map_batches pass evaluates all three
+    vectorized kernels per batch and emits per-batch partial counts; the
+    driver sums a handful of tiny rows. Nothing is materialized between
+    "stages" — the funnel is a fused map, which is the point at 100 TB."""
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        lang = np.asarray(tx.language_id(texts))
+        qual = _round6_half_away(tx.quality_scores(texts))
+        _, dup_bi, _, _ = hy.repetition_stats(texts)
+        dup_bi = _round6_half_away(dup_bi)
+        pass_lang = lang == "en"
+        pass_q = pass_lang & (qual >= _FUNNEL_QUALITY)
+        pass_rep = pass_q & (dup_bi < _FUNNEL_DUP_BI)
+        return pa.table(
+            {"n_total": pa.array([len(lang)], pa.int64()),
+             "n_lang": pa.array([int(pass_lang.sum())], pa.int64()),
+             "n_quality": pa.array([int(pass_q.sum())], pa.int64()),
+             "n_lowrep": pa.array([int(pass_rep.sum())], pa.int64())}
+        )
+
+    parts = _collect(ds.map_batches(f, batch_format="pyarrow", batch_size=2048))
+    return pa.table(
+        {c: pa.array([pc.sum(parts.column(c)).as_py() or 0], pa.int64())
+         for c in ("n_total", "n_lang", "n_quality", "n_lowrep")}
+    )
+
+
 _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
@@ -2044,6 +2143,8 @@ def build_queries() -> dict[str, Callable]:
         "repetition_stats": q_repetition_stats,
         "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
+        "sequence_pack": q_sequence_pack,
+        "corpus_funnel": q_corpus_funnel,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2083,6 +2184,26 @@ def build_oracle_sql() -> dict[str, str]:
     s_es = _stop_count(tx.STOPWORDS["es"])
     s_de = _stop_count(tx.STOPWORDS["de"])
     s_fr = _stop_count(tx.STOPWORDS["fr"])
+    # shared expressions (language_id / quality_score / corpus_funnel mirror
+    # the same formulas; keep them defined once)
+    lang_case = f"""CASE
+                WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                     > 0.2 * GREATEST(length(text), 1) THEN 'zh'
+                WHEN GREATEST({s_en}, {s_es}, {s_de}, {s_fr}) = 0 THEN 'unknown'
+                WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} AND {s_en} >= {s_fr} THEN 'en'
+                WHEN {s_es} >= {s_de} AND {s_es} >= {s_fr} THEN 'es'
+                WHEN {s_de} >= {s_fr} THEN 'de'
+                ELSE 'fr'
+              END"""
+    quality_expr = f"""ROUND(
+                0.3 * LEAST(len({_TOKENS}) / 64.0, 1.0)
+              + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(GREATEST(length(text), 1) AS DOUBLE))
+              + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / CAST(GREATEST(length(text), 1) AS DOUBLE))
+              + 0.2 * LEAST(5.0 * (({s_en}) + ({s_es}) + ({s_de}) + ({s_fr}))
+                       / CAST(GREATEST(len({_TOKENS}), 1) AS DOUBLE), 1.0)
+            , 6)"""
     return {
         "counters_by_type": """
             SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
@@ -2157,29 +2278,54 @@ def build_oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "language_id": f"""
-            SELECT doc_id,
-              CASE
-                WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g'))
-                     > 0.2 * GREATEST(length(text), 1) THEN 'zh'
-                WHEN GREATEST({s_en}, {s_es}, {s_de}, {s_fr}) = 0 THEN 'unknown'
-                WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} AND {s_en} >= {s_fr} THEN 'en'
-                WHEN {s_es} >= {s_de} AND {s_es} >= {s_fr} THEN 'es'
-                WHEN {s_de} >= {s_fr} THEN 'de'
-                ELSE 'fr'
-              END AS lang_pred
+            SELECT doc_id, {lang_case} AS lang_pred
             FROM documents ORDER BY doc_id
         """,
         "quality_score": f"""
-            SELECT doc_id, ROUND(
-                0.3 * LEAST(len({_TOKENS}) / 64.0, 1.0)
-              + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                       / CAST(GREATEST(length(text), 1) AS DOUBLE))
-              + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
-                       / CAST(GREATEST(length(text), 1) AS DOUBLE))
-              + 0.2 * LEAST(5.0 * (({s_en}) + ({s_es}) + ({s_de}) + ({s_fr}))
-                       / CAST(GREATEST(len({_TOKENS}), 1) AS DOUBLE), 1.0)
-            , 6) AS score
+            SELECT doc_id, {quality_expr} AS score
             FROM documents ORDER BY doc_id
+        """,
+        "sequence_pack": f"""
+            WITH t AS (SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum_before // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   CAST(cum_before % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+            FROM c ORDER BY doc_id
+        """,
+        "corpus_funnel": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       {lang_case} AS lang_pred,
+                       {quality_expr} AS score,
+                       CASE WHEN len(toks) < 2 THEN 0.0 ELSE ROUND(
+                           1.0 - len(list_distinct(list_transform(
+                                   generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])))
+                               / CAST(len(toks) - 1 AS DOUBLE), 6)
+                       END AS dup_bi
+                FROM t
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_lang,
+                   CAST(SUM(CASE WHEN lang_pred = 'en'
+                                  AND score >= {_FUNNEL_QUALITY}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                   CAST(SUM(CASE WHEN lang_pred = 'en'
+                                  AND score >= {_FUNNEL_QUALITY}
+                                  AND dup_bi < {_FUNNEL_DUP_BI}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_lowrep
+            FROM m
         """,
         "normalize_hash": r"""
             SELECT doc_id,

@@ -107,6 +107,8 @@ SQL_CHECKED = [
     "repetition_stats",
     "span_dedup",
     "decontaminate",
+    "sequence_pack",
+    "corpus_funnel",
 ]
 
 
