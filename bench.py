@@ -187,7 +187,8 @@ def bench_queries() -> dict[str, float]:
         "token_count", "language_id", "quality_score", "minhash_dedup",
         "simhash_dedup", "ann_cosine", "events_daily", "cache_lookup",
         "revenue_topk", "webhook_events", "train_split", "doc_clusters",
-        "graph_components", "pii_scrub",
+        "graph_components", "pii_scrub", "repetition_stats", "span_dedup",
+        "decontaminate", "sequence_pack", "corpus_funnel",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}
