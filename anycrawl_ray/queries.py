@@ -1454,6 +1454,42 @@ def q_sequence_pack(sf_dir: str):
     return _collect(out).sort_by("doc_id")
 
 
+def q_inverted_index(sf_dir: str):
+    """Vocabulary statistics (token → document frequency + term frequency)
+    — the inverted-index / tf-idf precursor, and the textbook HOT-KEY
+    aggregation: the corpus vocabulary is tiny relative to the token
+    stream, so every key is hot. The fix is a per-batch COMBINER: each
+    batch pre-aggregates its token stream to (token, df_partial,
+    tf_partial) — docs are batch-disjoint, so df partials sum exactly —
+    and only vocabulary-sized partials enter the groupby shuffle
+    (~vocab x n_blocks rows instead of one row per token occurrence)."""
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def combiner(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        rows = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        df = pd.DataFrame({"token": flat, "r": rows})
+        g = df.groupby("token", sort=False).agg(
+            df_p=("r", "nunique"), tf_p=("r", "size")
+        ).reset_index()
+        return pa.table(
+            {"token": pa.array(g["token"].to_numpy(), pa.string()),
+             "df_p": pa.array(g["df_p"].to_numpy(), pa.int64()),
+             "tf_p": pa.array(g["tf_p"].to_numpy(), pa.int64())}
+        )
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow", batch_size=2048)
+    t = _collect(
+        partials.groupby("token").aggregate(
+            Sum("df_p", alias_name="df"), Sum("tf_p", alias_name="tf")
+        )
+    )
+    return t.sort_by("token")
+
+
 # funnel thresholds: chosen so each stage drops documents on the sf corpora
 _FUNNEL_QUALITY = 0.6
 _FUNNEL_DUP_BI = 0.05
@@ -2145,6 +2181,7 @@ def build_queries() -> dict[str, Callable]:
         "decontaminate": q_decontaminate,
         "sequence_pack": q_sequence_pack,
         "corpus_funnel": q_corpus_funnel,
+        "inverted_index": q_inverted_index,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2298,6 +2335,14 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(cum_before // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
                    CAST(cum_before % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
             FROM c ORDER BY doc_id
+        """,
+        "inverted_index": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+            )
+            SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t GROUP BY token ORDER BY token
         """,
         "corpus_funnel": f"""
             WITH t AS (

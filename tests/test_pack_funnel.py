@@ -48,6 +48,24 @@ def test_sequence_pack_empty_doc(ray_session, tmp_path):
     assert out["seq_offset"].tolist() == [0, 3, 3]
 
 
+def test_inverted_index_df_vs_tf(ray_session, tmp_path):
+    """df counts distinct docs, tf counts occurrences — a token repeated
+    within one doc raises tf but not df."""
+    from anycrawl_ray.queries import q_inverted_index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["x x y", "y z"], pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_inverted_index(str(tmp_path)).to_pandas().set_index("token")
+    assert out.loc["x", "df"] == 1 and out.loc["x", "tf"] == 2
+    assert out.loc["y", "df"] == 2 and out.loc["y", "tf"] == 2
+    assert out.loc["z", "df"] == 1 and out.loc["z", "tf"] == 1
+
+
 def test_corpus_funnel_counts_are_cumulative(ray_session):
     from anycrawl_ray.queries import q_corpus_funnel
 

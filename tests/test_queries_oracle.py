@@ -109,6 +109,7 @@ SQL_CHECKED = [
     "decontaminate",
     "sequence_pack",
     "corpus_funnel",
+    "inverted_index",
 ]
 
 
