@@ -188,7 +188,7 @@ def bench_queries() -> dict[str, float]:
         "simhash_dedup", "ann_cosine", "events_daily", "cache_lookup",
         "revenue_topk", "webhook_events", "train_split", "doc_clusters",
         "graph_components", "pii_scrub", "repetition_stats", "span_dedup",
-        "decontaminate", "sequence_pack", "corpus_funnel",
+        "decontaminate", "sequence_pack", "corpus_funnel", "inverted_index",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}
