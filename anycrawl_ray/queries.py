@@ -1454,6 +1454,38 @@ def q_sequence_pack(sf_dir: str):
     return _collect(out).sort_by("doc_id")
 
 
+def _vocab_combiner(t: pa.Table) -> pa.Table:
+    """Per-batch combiner for vocabulary aggregation: (token, df_partial,
+    tf_partial). Docs are batch-disjoint, so df partials sum exactly."""
+    from .functions import hygiene as hy
+
+    texts = t.column("text").combine_chunks()
+    flat, offsets = hy.nonempty_tokens(texts)
+    rows = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    df = pd.DataFrame({"token": flat, "r": rows})
+    g = df.groupby("token", sort=False).agg(
+        df_p=("r", "nunique"), tf_p=("r", "size")
+    ).reset_index()
+    return pa.table(
+        {"token": pa.array(g["token"].to_numpy(), pa.string()),
+         "df_p": pa.array(g["df_p"].to_numpy(), pa.int64()),
+         "tf_p": pa.array(g["tf_p"].to_numpy(), pa.int64())}
+    )
+
+
+def _vocab_table(ds: rd.Dataset) -> pa.Table:
+    """token → (df, tf) over a documents Dataset: combiner partials, then a
+    vocab-sized groupby shuffle."""
+    partials = ds.map_batches(
+        _vocab_combiner, batch_format="pyarrow", batch_size=2048
+    )
+    return _collect(
+        partials.groupby("token").aggregate(
+            Sum("df_p", alias_name="df"), Sum("tf_p", alias_name="tf")
+        )
+    )
+
+
 def q_inverted_index(sf_dir: str):
     """Vocabulary statistics (token → document frequency + term frequency)
     — the inverted-index / tf-idf precursor, and the textbook HOT-KEY
@@ -1463,31 +1495,64 @@ def q_inverted_index(sf_dir: str):
     tf_partial) — docs are batch-disjoint, so df partials sum exactly —
     and only vocabulary-sized partials enter the groupby shuffle
     (~vocab x n_blocks rows instead of one row per token occurrence)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _vocab_table(ds).sort_by("token")
+
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-k characteristic tokens per document by tf-idf (score = tf *
+    ln(N/df)) — the keyword-extraction composition: the corpus-wide df
+    table is computed with the combiner pipeline above (vocab-sized),
+    broadcast ONCE via ray.put, and a single streaming map_batches pass
+    computes per-doc tf + score + top-k locally — no per-doc shuffle, no
+    join. Ranking ties break by token; scores are ranked UNROUNDED on both
+    the Ray and SQL sides, rounded only for output."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     from .functions import hygiene as hy
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_table(ds)
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    df_map = dict(
+        zip(vocab.column("token").to_pylist(), vocab.column("df").to_pylist())
+    )
+    df_ref = ray.put(df_map)
 
-    def combiner(t: pa.Table) -> pa.Table:
+    def f(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)  # plasma-cached per worker
+        ids = t.column("doc_id").to_numpy()
         texts = t.column("text").combine_chunks()
         flat, offsets = hy.nonempty_tokens(texts)
         rows = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        df = pd.DataFrame({"token": flat, "r": rows})
-        g = df.groupby("token", sort=False).agg(
-            df_p=("r", "nunique"), tf_p=("r", "size")
-        ).reset_index()
+        d = pd.DataFrame({"doc_id": ids[rows] if len(rows) else rows.astype(np.int64),
+                          "token": flat})
+        if d.empty:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        tf = d.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        df_vals = tf["token"].map(dfm).to_numpy(dtype=np.float64)
+        tf["raw"] = tf["tf"].to_numpy(dtype=np.float64) * np.log(n_docs / df_vals)
+        tf = tf.sort_values(
+            ["doc_id", "raw", "token"], ascending=[True, False, True]
+        )
+        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        top = tf[tf["rank"] <= _TFIDF_K]
         return pa.table(
-            {"token": pa.array(g["token"].to_numpy(), pa.string()),
-             "df_p": pa.array(g["df_p"].to_numpy(), pa.int64()),
-             "tf_p": pa.array(g["tf_p"].to_numpy(), pa.int64())}
+            {"doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+             "token": pa.array(top["token"].to_numpy(), pa.string()),
+             "score": pa.array(
+                 _round6_half_away(top["raw"].to_numpy()), pa.float64()),
+             "rank": pa.array(top["rank"].to_numpy(), pa.int64())}
         )
 
-    partials = ds.map_batches(combiner, batch_format="pyarrow", batch_size=2048)
-    t = _collect(
-        partials.groupby("token").aggregate(
-            Sum("df_p", alias_name="df"), Sum("tf_p", alias_name="tf")
-        )
-    )
-    return t.sort_by("token")
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by([("doc_id", "ascending"), ("rank", "ascending")])
 
 
 # funnel thresholds: chosen so each stage drops documents on the sf corpora
@@ -2182,6 +2247,7 @@ def build_queries() -> dict[str, Callable]:
         "sequence_pack": q_sequence_pack,
         "corpus_funnel": q_corpus_funnel,
         "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2343,6 +2409,32 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
                    CAST(COUNT(*) AS BIGINT) AS tf
             FROM t GROUP BY token ORDER BY token
+        """,
+        "tfidf_topk": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM t GROUP BY doc_id, token
+            ),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token
+            ),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            s AS (
+                SELECT doc_id, token, tf * ln(n.n / df.df) AS raw
+                FROM tf JOIN df USING (token), n
+            ),
+            r AS (
+                SELECT doc_id, token, raw,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY raw DESC, token) AS rn
+                FROM s
+            )
+            SELECT doc_id, token, ROUND(raw, 6) AS score,
+                   CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= {_TFIDF_K} ORDER BY doc_id, rank
         """,
         "corpus_funnel": f"""
             WITH t AS (

@@ -66,6 +66,28 @@ def test_inverted_index_df_vs_tf(ray_session, tmp_path):
     assert out.loc["z", "df"] == 1 and out.loc["z", "tf"] == 1
 
 
+def test_tfidf_topk_ranking(ray_session, tmp_path):
+    """Rarer tokens outscore common ones; ranks are 1..k per doc with
+    token-order tie-break."""
+    from anycrawl_ray.queries import q_tfidf_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["common rare0 common", "common rare1", "common"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_tfidf_topk(str(tmp_path)).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # rare0 (df=1) beats common (df=3, score 0) despite tf('common')=2
+    assert d0["token"].tolist() == ["rare0", "common"]
+    d2 = out[out.doc_id == 2]
+    assert d2["token"].tolist() == ["common"] and d2["score"].tolist() == [0.0]
+
+
 def test_corpus_funnel_counts_are_cumulative(ray_session):
     from anycrawl_ray.queries import q_corpus_funnel
 

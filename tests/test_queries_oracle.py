@@ -110,6 +110,7 @@ SQL_CHECKED = [
     "sequence_pack",
     "corpus_funnel",
     "inverted_index",
+    "tfidf_topk",
 ]
 
 
