@@ -1335,18 +1335,23 @@ _DECON_N = 3     # gram width: real decontamination runs 8-13-gram overlap
 _DECON_MOD = 97  # doc_id % 97 == 0 defines the synthetic benchmark/eval set
 
 
-def q_decontaminate(sf_dir: str, n: int = _DECON_N):
+def q_decontaminate(sf_dir: str, n: int = _DECON_N, method: str = "broadcast"):
     """Benchmark decontamination: flag documents sharing an n-gram with a
     held-out benchmark set (the standard train/test-overlap check; the
     benchmark here is the deterministic doc_id %% 97 == 0 slice).
 
-    Scale shape: the benchmark side is tiny by construction (an eval set),
-    so its distinct grams collect to the driver once and broadcast via
-    ``ray.put``; the corpus side is a pure streaming map_batches (vectorized
-    gram construction + one C-speed pandas isin per batch). If the bench
-    set ever outgrew a broadcast, the fallback is the reduce-side semi-join
-    on gram hash that the minhash family already uses
-    (functions/dedup.py:verify_pairs_join)."""
+    Scale shape: a real benchmark/eval set is tiny, so its distinct grams
+    collect to the driver once and broadcast via ``ray.put``; the corpus
+    side is a pure streaming map_batches (vectorized gram construction +
+    one C-speed pandas isin per batch). ``method="join"`` is the
+    reduce-side path for when the bench side does NOT fit a broadcast:
+    both sides explode to (g, doc_id, is_bench) rows and ONE
+    co-partitioned shuffle by gram marks corpus rows that share a
+    partition-local gram with any bench row — no process ever holds the
+    global bench-gram set (equality with the broadcast path is
+    parity-tested)."""
+    if method == "join":
+        return _decontaminate_join(sf_dir, n)
     from .functions import hygiene as hy
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1392,6 +1397,59 @@ def q_decontaminate(sf_dir: str, n: int = _DECON_N):
 
     out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
     return _collect(out).sort_by("doc_id")
+
+
+def _decontaminate_join(sf_dir: str, n: int = _DECON_N):
+    """Reduce-side decontamination (see q_decontaminate): one gram-keyed
+    co-partitioned shuffle of per-doc-distinct (g, doc_id, is_bench) rows,
+    bench membership resolved partition-locally."""
+    import polars as pl
+
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        grams, rows = hy.ngram_rows(flat, offsets, n)
+        df = pd.DataFrame(
+            {"doc_id": ids[rows] if len(rows) else rows.astype(np.int64),
+             "g": grams}
+        ).drop_duplicates()  # per-doc distinct (docs are batch-atomic)
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+             "g": pa.array(df["g"].to_numpy(), pa.string()),
+             "is_bench": pa.array(
+                 (df["doc_id"].to_numpy() % _DECON_MOD == 0), pa.bool_())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+    def mark(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.with_columns(
+            pl.col("is_bench").any().over("g").alias("hit_any")
+        )
+        return (
+            df.filter(~pl.col("is_bench"))
+            .with_columns(pl.col("hit_any").cast(pl.Int64).alias("hit"))
+            .select("doc_id", "hit")
+        )
+
+    marked = _co_partitioned(exploded, "g", mark)
+    agg = _collect(
+        marked.groupby("doc_id").aggregate(
+            Count(alias_name="n_grams"), Sum("hit", alias_name="n_overlap")
+        )
+    )
+    out = pa.table(
+        {"doc_id": agg.column("doc_id"),
+         "n_grams": pc.cast(agg.column("n_grams"), pa.int64()),
+         "n_overlap": pc.cast(agg.column("n_overlap"), pa.int64()),
+         "contaminated": pc.greater(agg.column("n_overlap"), 0)}
+    )
+    return out.sort_by("doc_id")
 
 
 _PACK_SEQ_LEN = 8192  # tokens per packed training sequence

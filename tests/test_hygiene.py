@@ -129,6 +129,18 @@ def test_decontaminate_semantics(ray_session, tmp_path):
     assert out.loc[2, "n_overlap"] == 0
 
 
+def test_decontaminate_join_parity_with_broadcast(ray_session):
+    """The reduce-side (co-partitioned gram shuffle) path must equal the
+    broadcast path row-for-row on the sf0.01 corpus."""
+    from anycrawl_ray.queries import q_decontaminate
+
+    a = q_decontaminate("/root/testdata/sf0.01").to_pandas()
+    b = q_decontaminate("/root/testdata/sf0.01", method="join").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)[a.columns.tolist()]
+    assert a.equals(b)
+
+
 def test_decontaminate_overlap_count(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
