@@ -1652,6 +1652,175 @@ def q_corpus_funnel(sf_dir: str):
     )
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram language-model scoring (the CCNet/KenLM-shaped quality
+    signal): score each document by the mean log-probability of its tokens
+    under the corpus's OWN unigram distribution. Two phases, both
+    vocabulary-sized: (1) the combiner pipeline builds the token→tf table
+    (`_vocab_table` — only vocab-sized partials enter the shuffle);
+    (2) log-probs ln(tf/total) are broadcast ONCE via ray.put and one
+    streaming map_batches pass averages them per doc. No per-token shuffle,
+    no join — the model table rides the object store like tfidf's df map.
+    Empty docs score 0.0 by definition (mirrored in the oracle)."""
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_table(ds)
+    total = float(pc.sum(vocab.column("tf")).as_py() or 0)
+    lp_map = {
+        t: float(np.log(tf / total))
+        for t, tf in zip(vocab.column("token").to_pylist(),
+                         vocab.column("tf").to_pylist())
+    }
+    lp_ref = ray.put(lp_map)
+
+    def f(t: pa.Table) -> pa.Table:
+        lpm = ray.get(lp_ref)  # plasma-cached per worker
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        counts = np.diff(offsets)
+        out = np.zeros(len(ids), dtype=np.float64)
+        if len(flat):
+            rows = np.repeat(np.arange(len(counts)), counts)
+            lp = pd.Series(flat).map(lpm).to_numpy(dtype=np.float64)
+            sums = pd.Series(lp).groupby(rows).sum()
+            out[sums.index.to_numpy()] = sums.to_numpy()
+            nz = counts > 0
+            out[nz] = out[nz] / counts[nz]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "avg_logprob": pa.array(_round6_half_away(out), pa.float64())}
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by("doc_id")
+
+
+_QUANTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def q_group_quantiles(sf_dir: str):
+    """Distributed EXACT per-group quantiles WITHOUT a global sort — the
+    corpus-profiling staple (length percentiles per language). The trick:
+    quantiles of a bounded-cardinality value column reduce to a VALUE
+    HISTOGRAM, which is a tiny combiner aggregation: each batch emits
+    (lang, n_chars, partial_count), one vocab-sized groupby shuffle sums
+    them, and the driver walks each group's cumulative histogram (a few
+    thousand rows) to the quantile ranks. rank_q = ceil(q*n) computed in
+    double precision on BOTH sides so the oracle's window-rank formulation
+    mirrors it bit-for-bit (this is also DuckDB quantile_disc's element)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t.column("lang").to_pandas(),
+             "n_chars": t.column("n_chars").to_numpy()}
+        )
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {"lang": pa.array(g["lang"].to_numpy(), pa.string()),
+             "n_chars": pa.array(g["n_chars"].to_numpy(), pa.int64()),
+             "c": pa.array(g["c"].to_numpy(), pa.int64())}
+        )
+
+    h = _collect(
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=4096)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas().sort_values(["lang", "n_chars"])
+
+    rows = []
+    for lang, g in h.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["c"].to_numpy())
+        n = int(cum[-1])
+        row = {"lang": lang, "n": n}
+        for name, qq in _QUANTS:
+            k = math.ceil(qq * n)  # double-precision ceil, mirrored in SQL
+            row[name] = int(vals[np.searchsorted(cum, k, side="left")])
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    return pa.table(
+        {"lang": pa.array(out["lang"], pa.string()),
+         "n": pa.array(out["n"].to_numpy(), pa.int64()),
+         **{name: pa.array(out[name].to_numpy(), pa.int64())
+            for name, _ in _QUANTS}}
+    )
+
+
+_ROLL_W = 4  # current row + 3 preceding
+
+
+def q_rolling_events(sf_dir: str):
+    """Sliding-window frame aggregate (per-user rolling mean over the last
+    4 events by time) — the general ROWS-BETWEEN window operator the
+    reference's monitor/diff pipelines imply. ONE co-partitioned shuffle on
+    user_id, then a vectorized polars rolling kernel per partition (sort by
+    (user_id, ts, event_id), rolling_mean over the user window) — no
+    per-group pandas calls, no global sort."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def kernel(df: "pl.DataFrame") -> "pl.DataFrame":
+        df = df.sort(["user_id", "ts", "event_id"])
+        return df.with_columns(
+            pl.col("value")
+            .rolling_mean(window_size=_ROLL_W, min_samples=1)
+            .over("user_id")
+            .alias("rolling_avg")
+        ).select(["event_id", "user_id", "rolling_avg"])
+
+    out = _co_partitioned(ds, "user_id", kernel)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("rolling_avg")
+        return t.set_column(
+            i, "rolling_avg",
+            pa.array(_round6_half_away(t.column("rolling_avg").to_numpy()),
+                     pa.float64()),
+        )
+
+    return _collect(out.map_batches(rnd, batch_format="pyarrow")).sort_by("event_id")
+
+
+# per-mille keep rates per language stratum (training-mixture weights);
+# decorrelated from train_split's hash by a different multiplier (xxHash
+# PRIME32_2, public domain)
+_STRATA_RATES = {"en": 500, "es": 250, "de": 250, "fr": 250, "zh": 100}
+_STRATA_DEFAULT = 500
+_STRATA_K = 2246822519
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling — the training-mixture step: each
+    language stratum keeps a configured per-mille fraction, selected by a
+    closed-form multiplicative hash of doc_id so the sample is reproducible
+    across cluster sizes, re-runs, and engines (the DuckDB oracle mirrors
+    the arithmetic exactly). Embarrassingly parallel: one streaming
+    map_batches filter, no shuffle, no RNG state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        langs = t.column("lang").to_pandas()
+        bucket = ((ids * _STRATA_K) % _SPLIT_M) % 1000
+        rates = langs.map(_STRATA_RATES).fillna(_STRATA_DEFAULT).to_numpy(
+            dtype=np.int64)
+        keep = bucket < rates
+        return pa.table(
+            {"doc_id": pa.array(ids[keep], pa.int64()),
+             "lang": pa.array(langs[keep].to_numpy(), pa.string()),
+             "bucket": pa.array(bucket[keep], pa.int64())}
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+    return _collect(out).sort_by("doc_id")
+
+
 _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
@@ -2306,6 +2475,10 @@ def build_queries() -> dict[str, Callable]:
         "corpus_funnel": q_corpus_funnel,
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
+        "unigram_logprob": q_unigram_logprob,
+        "group_quantiles": q_group_quantiles,
+        "rolling_events": q_rolling_events,
+        "stratified_sample": q_stratified_sample,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2493,6 +2666,60 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, ROUND(raw, 6) AS score,
                    CAST(rn AS BIGINT) AS rank
             FROM r WHERE rn <= {_TFIDF_K} ORDER BY doc_id, rank
+        """,
+        "unigram_logprob": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+            ),
+            f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+            p AS (
+                SELECT t.doc_id, AVG(ln(f.tf / tot.tot)) AS alp
+                FROM t JOIN f USING (token) CROSS JOIN tot
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, ROUND(COALESCE(p.alp, 0.0), 6) AS avg_logprob
+            FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id
+        """,
+        # rank_q = ceil(q*n) in double precision — the same arithmetic the
+        # Ray side runs, and the element quantile_disc selects
+        "group_quantiles": """
+            WITH r AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+        """ + ",\n".join(
+            f"                   CAST(MAX(CASE WHEN rn = CAST(ceil({qq} * n) AS BIGINT)"
+            f" THEN n_chars END) AS BIGINT) AS {name}"
+            for name, qq in _QUANTS
+        ) + """
+            FROM r GROUP BY lang ORDER BY lang
+        """,
+        "rolling_events": f"""
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW
+                   ), 6) AS rolling_avg
+            FROM events ORDER BY event_id
+        """,
+        "stratified_sample": f"""
+            WITH b AS (
+                SELECT doc_id, lang,
+                       ((doc_id * {_STRATA_K}) % {_SPLIT_M}) % 1000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE lang
+        """ + "\n".join(
+            f"                WHEN '{lang}' THEN {rate}"
+            for lang, rate in sorted(_STRATA_RATES.items())
+        ) + f"""
+                ELSE {_STRATA_DEFAULT} END
+            ORDER BY doc_id
         """,
         "corpus_funnel": f"""
             WITH t AS (

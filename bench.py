@@ -189,7 +189,8 @@ def bench_queries() -> dict[str, float]:
         "revenue_topk", "webhook_events", "train_split", "doc_clusters",
         "graph_components", "pii_scrub", "repetition_stats", "span_dedup",
         "decontaminate", "sequence_pack", "corpus_funnel", "inverted_index",
-        "tfidf_topk",
+        "tfidf_topk", "unigram_logprob", "group_quantiles", "rolling_events",
+        "stratified_sample",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

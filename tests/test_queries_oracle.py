@@ -111,6 +111,10 @@ SQL_CHECKED = [
     "corpus_funnel",
     "inverted_index",
     "tfidf_topk",
+    "unigram_logprob",
+    "group_quantiles",
+    "rolling_events",
+    "stratified_sample",
 ]
 
 
