@@ -1821,6 +1821,32 @@ def q_stratified_sample(sf_dir: str):
     return _collect(out).sort_by("doc_id")
 
 
+_SINK_PARTS = 16
+
+
+def q_resumable_write(sf_dir: str):
+    """Resumable partitioned-parquet sink as a driver-checked operator: the
+    documents table streams through `sinks.resumable_partitioned_write`
+    (closed-form hash partitioning, per-partition atomic commit + _SUCCESS
+    marker), and the returned ack table (part → n_rows) is what the oracle
+    mirrors — so the SQL side independently verifies that every input row
+    landed in exactly one committed partition. Crash/resume semantics are
+    exercised in tests/test_sinks.py."""
+    import shutil
+    import tempfile
+
+    from . import sinks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="anycrawl_sink_")
+    try:
+        return sinks.resumable_partitioned_write(
+            ds, out_dir, key_col="doc_id", n_parts=_SINK_PARTS
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
@@ -2479,6 +2505,7 @@ def build_queries() -> dict[str, Callable]:
         "group_quantiles": q_group_quantiles,
         "rolling_events": q_rolling_events,
         "stratified_sample": q_stratified_sample,
+        "resumable_write": q_resumable_write,
         # rows-only (non-SQL-expressible)
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -2720,6 +2747,12 @@ def build_oracle_sql() -> dict[str, str]:
         ) + f"""
                 ELSE {_STRATA_DEFAULT} END
             ORDER BY doc_id
+        """,
+        # mirrors sinks.partition_ids + the per-partition row acks
+        "resumable_write": f"""
+            SELECT ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % {_SINK_PARTS} AS part,
+                   COUNT(*) AS n_rows
+            FROM documents GROUP BY part ORDER BY part
         """,
         "corpus_funnel": f"""
             WITH t AS (

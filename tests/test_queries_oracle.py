@@ -115,6 +115,7 @@ SQL_CHECKED = [
     "group_quantiles",
     "rolling_events",
     "stratified_sample",
+    "resumable_write",
 ]
 
 
