@@ -1,0 +1,122 @@
+"""HyperLogLog approximate count-distinct as a native Ray Data AggregateFn.
+
+The scale path for COUNT(DISTINCT x): the exact version is an all-to-all
+shuffle of every distinct value (`q_daily_active_users`); the sketch version
+ships ONE 2^p-byte register array per group per block through the aggregate
+tree — constant size however many distinct values a 100-TB stream holds.
+Registers merge by element-wise max, so the aggregation is associative and
+commutative and plugs straight into `ds.groupby(...).aggregate(...)`.
+
+Algorithm: Flajolet–Fuhr–Gandouet–Meunier HyperLogLog (AMS 2007, public),
+64-bit hashed (no large-range correction needed) with the standard
+linear-counting small-range correction. Hashing is closed-form splitmix64
+(Steele et al., public domain) — fully deterministic across workers, runs
+and cluster sizes, unlike RNG-seeded sketches.
+
+Default p=12 → 4096 registers, standard error 1.04/sqrt(4096) ≈ 1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int64/uint64 array."""
+    z = x.astype(np.uint64, copy=True)
+    z += _U(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U(27))) * _U(0x94D049BB133111EB)
+    return z ^ (z >> _U(31))
+
+
+def _hash_column(vals: np.ndarray) -> np.ndarray:
+    """uint64 hashes for an int or string column (strings via polars' stable
+    per-process hash, then splitmix64 for avalanche — same dependency
+    _co_partitioned already relies on)."""
+    if np.issubdtype(vals.dtype, np.integer):
+        return splitmix64(vals)
+    import polars as pl
+
+    return splitmix64(pl.Series(vals.astype(str)).hash(seed=4242).to_numpy())
+
+
+def _floor_log2(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for x>0 via branchless binary search (float log2 is
+    off-by-one at power-of-two boundaries above 2^52)."""
+    r = np.zeros(len(x), dtype=np.int64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = y >= (_U(1) << _U(s))
+        r[big] += s
+        y[big] >>= _U(s)
+    return r
+
+
+class HLL:
+    """Plain sketch object (build / merge / estimate) — the AggregateFn below
+    wraps these kernels; they are also usable standalone per batch."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        p = _U(self.p)
+        idx = (h >> (_U(64) - p)).astype(np.int64)
+        # sentinel bit caps rank at 64-p+1 and keeps rest nonzero
+        rest = (h << p) | (_U(1) << _U(self.p - 1))
+        rank = (63 - _floor_log2(rest) + 1).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def estimate(self) -> int:
+        m = self.m
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.ldexp(1.0, -self.regs.astype(np.int64)))
+        zeros = int(np.count_nonzero(self.regs == 0))
+        if e <= 2.5 * m and zeros > 0:  # linear-counting small-range correction
+            e = m * np.log(m / zeros)
+        return int(round(e))
+
+
+def hll_aggregate(on: str, alias_name: str = "approx_distinct", p: int = 12):
+    """ray.data AggregateFn: `ds.groupby(k).aggregate(hll_aggregate("x"))`.
+    The accumulator is the raw register array (2^p bytes, mergeable by max);
+    finalize emits the integer cardinality estimate."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key):
+        return np.zeros(1 << p, dtype=np.uint8)
+
+    def accumulate_block(regs: np.ndarray, block) -> np.ndarray:
+        if isinstance(block, pa.Table):
+            vals = block.column(on).to_numpy(zero_copy_only=False)
+        else:  # pandas
+            vals = block[on].to_numpy()
+        if len(vals):
+            sk = HLL(p)
+            sk.regs = regs
+            sk.add_hashes(_hash_column(vals))
+        return regs
+
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.maximum(a, b)
+
+    def finalize(regs: np.ndarray) -> int:
+        sk = HLL(p)
+        sk.regs = regs
+        return sk.estimate()
+
+    return AggregateFn(
+        init=init, merge=merge, name=alias_name,
+        accumulate_block=accumulate_block, finalize=finalize,
+    )

@@ -2426,6 +2426,32 @@ def q_daily_active_users(sf_dir: str):
     return _collect(_co_partitioned(mapped, "day", kernel, n_parts=8)).sort_by("day")
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog COUNT(DISTINCT) per window — the sketch path for
+    `daily_active_users`: each group ships a constant 4 KB register array
+    through the aggregate tree instead of its distinct-value set, so the
+    shuffle cost is independent of cardinality (the 100-TB contrast to the
+    exact version's value shuffle). Registered rows-only (the estimate is
+    approximate by design); tests/test_sketch.py gates the per-day relative
+    error against the exact answer and pins merge-associativity."""
+    from .functions.sketch import hll_aggregate
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(t.column("ts"), unit="day"),
+             "user_id": t.column("user_id")}
+        )
+
+    out = (
+        ds.map_batches(day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(hll_aggregate("user_id", alias_name="approx_users"))
+    )
+    return _collect(out).sort_by("day")
+
+
 def q_monitor_diff(sf_dir: str):
     """J5+M18/M19 end-to-end: as-of self-join per user over event snapshots,
     pairwise LCS text diff + JSON price classification (rows-only: LCS diff
@@ -2507,6 +2533,7 @@ def build_queries() -> dict[str, Callable]:
         "stratified_sample": q_stratified_sample,
         "resumable_write": q_resumable_write,
         # rows-only (non-SQL-expressible)
+        "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
         "graph_components": q_graph_components,

@@ -190,7 +190,7 @@ def bench_queries() -> dict[str, float]:
         "graph_components", "pii_scrub", "repetition_stats", "span_dedup",
         "decontaminate", "sequence_pack", "corpus_funnel", "inverted_index",
         "tfidf_topk", "unigram_logprob", "group_quantiles", "rolling_events",
-        "stratified_sample", "resumable_write",
+        "stratified_sample", "resumable_write", "approx_distinct",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

@@ -129,6 +129,7 @@ def test_sql_checked(registry, duck, name):
 
 
 ROWS_ONLY = [
+    "approx_distinct",
     "crawl_bfs", "crawl_spans", "minhash_dedup", "simhash_dedup",
     "doc_fingerprint", "media_features", "serp_parse", "js_requirement",
     "ngram_dedup", "monitor_diff", "search_scrape", "ann_ivf",
