@@ -39,12 +39,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from . import strhash
+
 HASH_SEED = 7777
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Stable uint64 hashes of k-token shingles (whitespace tokens)."""
+    """Stable uint64 hashes of k-token shingles (whitespace tokens).
+
+    Hashing is the closed-form FNV-1a+splitmix64 scheme from
+    functions/strhash.py, so a DuckDB oracle reproduces every shingle hash —
+    and hence minhash signatures, band buckets and verified jaccard pairs —
+    bit-for-bit (the whole near-dup family is hash-checked, not rows-only).
+    """
     toks = text.split()
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else []
@@ -52,17 +60,39 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     if not shingles:
         return np.zeros(0, dtype=np.uint64)
-    return pl.Series(shingles).hash(seed=HASH_SEED).to_numpy().astype(np.uint64)
+    return strhash.hash_strings(shingles, seed=HASH_SEED)
 
 
 def shingle_hashes_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
-    return [np.unique(shingle_hashes(t, k)) for t in texts]
+    """Per-doc unique shingle hashes, with ONE vectorized hash call for the
+    whole batch (the per-doc variant pays the U-matrix setup per doc)."""
+    all_sh: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        toks = t.split()
+        if len(toks) < k:
+            s = [" ".join(toks)] if toks else []
+        else:
+            s = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        all_sh.extend(s)
+        counts.append(len(s))
+    h = strhash.hash_strings(all_sh, seed=HASH_SEED)
+    out: list[np.ndarray] = []
+    pos = 0
+    for c in counts:
+        out.append(np.unique(h[pos : pos + c]))
+        pos += c
+    return out
 
 
 def _perm_params(num_perms: int, seed: int = 99) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perms, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perms, dtype=np.int64).astype(np.uint64)
+    """Closed-form permutation params (a_j odd): splitmix64 over the even/odd
+    counter streams — derivable by the SQL oracle, unlike RandomState."""
+    from .sketch import splitmix64
+
+    j = np.arange(num_perms, dtype=np.uint64)
+    a = splitmix64(np.uint64(2 * seed) + 2 * j) | np.uint64(1)
+    b = splitmix64(np.uint64(2 * seed) + 2 * j + np.uint64(1))
     return a, b
 
 
@@ -441,17 +471,24 @@ def verify_pairs_join(cand, sh_ds, threshold: float, num_partitions: int = 8):
 
 
 def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """64-bit simhash per text: sign of per-bit votes over token hashes."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            continue
-        h = pl.Series(toks).hash(seed=HASH_SEED).to_numpy().astype(np.uint64)
-        bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)  # (m, 64)
-        votes = bits.astype(np.int32).sum(axis=0) * 2 - len(h)  # +1/-1 votes
-        bitvec = (votes > 0).astype(np.uint8)
-        out[i] = np.packbits(bitvec).view(np.uint64)[0]
+    """64-bit simhash per text: sign of per-bit votes over token hashes.
+
+    Batched: ONE vectorized hash over every token in the batch, then
+    per-doc vote sums via np.add.reduceat over the token-offset segments."""
+    toks_per = [t.split() for t in texts]
+    counts = np.array([len(x) for x in toks_per], dtype=np.int64)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not (counts > 0).any():
+        return out
+    all_toks = [w for x in toks_per for w in x]
+    h = strhash.hash_strings(all_toks, seed=HASH_SEED)
+    doc_idx = np.repeat(np.arange(n), counts)
+    half = counts.astype(np.float64) / 2.0  # votes>0 <=> ones > count/2
+    for p in range(64):
+        bit = ((h >> np.uint64(p)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(doc_idx, weights=bit, minlength=n)
+        out |= (ones > half).astype(np.uint64) << np.uint64(p)
     return out
 
 

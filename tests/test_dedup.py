@@ -7,7 +7,12 @@ import pytest
 from anycrawl_ray.functions import dedup as dd
 
 
-BASE = "the quick brown fox jumps over the lazy dog again and again today"
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again today "
+    "while the patient grey owl watches from a tall oak tree near the "
+    "river bend and counts every passing cloud in the warm afternoon sky "
+    "before gliding home across the quiet meadow at dusk"
+)
 
 
 def make_docs():
