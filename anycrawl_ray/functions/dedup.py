@@ -156,6 +156,14 @@ def band_rows(sig_table: pa.Table, bands: int = 32) -> pa.Table:
     )
 
 
+def round6(x: float) -> float:
+    """Round to 6 decimals HALF AWAY FROM ZERO — DuckDB ROUND's mode; every
+    float column a SQL oracle mirrors must use this, not Python round()."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two unique-hash arrays."""
     if len(a) == 0 and len(b) == 0:
@@ -360,7 +368,7 @@ def make_plasma_verify_fn(boxed_refs, threshold: float):
             if j >= threshold:
                 ao.append(a_id)
                 bo.append(b_id)
-                jo.append(round(j, 6))
+                jo.append(round6(j))
         return pa.table(
             {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
              "jaccard": pa.array(jo, pa.float64())}
@@ -452,7 +460,7 @@ def verify_pairs_join(cand, sh_ds, threshold: float, num_partitions: int = 8):
             if j >= threshold:
                 ao.append(a_id)
                 bo.append(b_id)
-                jo.append(round(j, 6))
+                jo.append(round6(j))
         return pa.table(
             {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
              "jaccard": pa.array(jo, pa.float64())}
@@ -674,7 +682,7 @@ def make_embedding_verify_fn(boxed_refs, threshold: float):
             if c >= threshold:
                 ao.append(a_id)
                 bo.append(b_id)
-                co.append(round(c, 6))
+                co.append(round6(c))
         return pa.table(
             {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
              "cos": pa.array(co, pa.float64())}

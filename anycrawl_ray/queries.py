@@ -950,7 +950,7 @@ def _ngram_block_pairs(a_tbl: pa.Table, b_tbl: pa.Table, same: bool) -> pa.Table
                 lo, hi = (ida, idb) if ida < idb else (idb, ida)
                 ao.append(lo)
                 bo.append(hi)
-                jo.append(round(j, 6))
+                jo.append(dd.round6(j))
     return pa.table(
         {"a_id": pa.array(ao, pa.int64()), "b_id": pa.array(bo, pa.int64()),
          "jaccard": pa.array(jo, pa.float64())}
@@ -1110,7 +1110,9 @@ def minhash_dedup_dataset(
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold 0.5)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold 0.5).
+    Oracle-checked end to end: the DuckDB mirror re-derives shingle hashes,
+    signatures, band buckets, the [2,64] bucket cap and the verify step."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup_dataset(ds)
 
@@ -1136,13 +1138,17 @@ def simhash_dedup_dataset(
 
 
 def q_simhash_dedup(sf_dir: str):
-    """SimHash near-dups: 16-bit band blocking + hamming<=3 verify."""
+    """SimHash near-dups: 16-bit band blocking + hamming<=3 verify.
+    Oracle-checked: the DuckDB mirror recomputes per-bit majority votes over
+    count-weighted token hashes, band blocking and bit_count verification."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dedup_dataset(ds)
 
 
 def q_doc_fingerprint(sf_dir: str):
-    """Winnowing fingerprints (rolling-hash) per document."""
+    """Winnowing fingerprints (rolling-hash) per document. Oracle-checked:
+    SQL re-derives k-gram hashes, rightmost-window-min selection and the
+    XOR fold (ASCII corpora — see the oracle's note)."""
 
     def f(t: pa.Table) -> pa.Table:
         fps = [tx.doc_fingerprint(s) for s in t.column("text").to_pylist()]
@@ -2431,9 +2437,12 @@ def q_approx_distinct(sf_dir: str):
     `daily_active_users`: each group ships a constant 4 KB register array
     through the aggregate tree instead of its distinct-value set, so the
     shuffle cost is independent of cardinality (the 100-TB contrast to the
-    exact version's value shuffle). Registered rows-only (the estimate is
-    approximate by design); tests/test_sketch.py gates the per-day relative
-    error against the exact answer and pins merge-associativity."""
+    exact version's value shuffle). The estimate is approximate vs the TRUE
+    cardinality but fully deterministic (closed-form splitmix64 hashing), so
+    it IS oracle-checked: the DuckDB mirror re-derives registers, ranks and
+    the FFGM estimate and must match bit-for-bit; tests/test_sketch.py
+    additionally gates the per-day relative error against the exact answer
+    and pins merge-associativity."""
     from .functions.sketch import hll_aggregate
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
@@ -2559,6 +2568,45 @@ def build_queries() -> dict[str, Callable]:
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
+_M64 = "18446744073709551616"
+_MERS = "2305843009213693951"  # 2^61-1, minhash_signature's modulus
+_FNV_OFF_BAND = "1469598103934665603"  # dedup band-fold constants
+_FNV_P = "1099511628211"
+# winnowing weights B^7..B^0 mod 2^64 (text.rolling_kgram_hashes, B=1000003)
+_WINNOW_POWS = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
+
+
+def _sql_shingle_cte(where: str = "") -> str:
+    """CTE block re-deriving the near-dup family's per-doc shingle-hash sets
+    in SQL: k=3 token shingles hashed with the closed-form strhash scheme —
+    identical uint64 values to `dedup.shingle_hashes` (pinned by
+    tests/test_strhash.py), so jaccard/minhash/banding downstream match the
+    Ray side bit-for-bit. Caveat (documented): docs with zero tokens emit no
+    rows here, while the Ray side gives them empty shingle sets that pair at
+    jaccard 1.0 — the corpus generator never emits empty docs."""
+    from .functions import strhash as _sh
+
+    fold = _sh.sql_fnv_fold("s", seed=dd.HASH_SEED)
+    fin = _sh.sql_splitmix64("f")
+    return f"""
+    toksrc AS (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents {where}
+    ),
+    shing AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, len(toks) - 1)] END AS sh_strs
+        FROM toksrc WHERE len(toks) > 0
+    ),
+    shf AS (
+        SELECT doc_id, {fold} AS f
+        FROM (SELECT doc_id, unnest(sh_strs) AS s FROM shing)
+    ),
+    sh AS (SELECT DISTINCT doc_id, {fin} AS h FROM shf),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    """
+
 
 def _stop_count(lang_words: tuple[str, ...]) -> str:
     wl = ", ".join(f"'{w}'" for w in lang_words)
@@ -2568,6 +2616,9 @@ def _stop_count(lang_words: tuple[str, ...]) -> str:
 
 
 def build_oracle_sql() -> dict[str, str]:
+    from .functions import strhash as _SH
+
+    _sm = _SH.sql_splitmix64
     s_en = _stop_count(tx.STOPWORDS["en"])
     s_es = _stop_count(tx.STOPWORDS["es"])
     s_de = _stop_count(tx.STOPWORDS["de"])
@@ -3154,6 +3205,287 @@ def build_oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+            ORDER BY a_id, b_id
+        """,
+        # winnowing (Schleimer et al. 2003) re-derived in SQL: Rabin-Karp
+        # k-gram hashes as an 8-way position join (products reduced mod 2^64
+        # BEFORE the HUGEINT sum — SUM(UHUGEINT) silently degrades to double),
+        # rightmost-window-min via a lexicographic (h, -pos) HUGEINT key
+        # (window MIN over UHUGEINT also degrades to double), XOR-folded per
+        # doc. ASCII contract: the Ray side hashes UTF-8 BYTES, SQL hashes
+        # codepoints — equal only on ASCII corpora (the testdata generator's
+        # range); non-ASCII docs would diverge here, not in the Ray result.
+        "doc_fingerprint": f"""
+            WITH codes AS (
+                SELECT doc_id, unnest(cs)::UBIGINT AS c,
+                       generate_subscripts(cs, 1) AS pos
+                FROM (SELECT doc_id,
+                             [unicode(ch) FOR ch IN string_split(text, '')
+                              IF ch != ''] AS cs
+                      FROM documents)
+            ),
+            offs AS (
+                SELECT unnest(range(8)) AS j, unnest({_WINNOW_POWS}) AS wgt
+            ),
+            kg AS (
+                SELECT c.doc_id, (c.pos - o.j) AS i,
+                       (SUM(((c.c::UHUGEINT * o.wgt::UHUGEINT)
+                             % {_M64})::HUGEINT)::UHUGEINT % {_M64})::UBIGINT AS h
+                FROM codes c JOIN offs o ON c.pos - o.j >= 1
+                GROUP BY c.doc_id, c.pos - o.j
+                HAVING COUNT(*) = 8
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS nh FROM kg GROUP BY doc_id),
+            keyed AS (
+                SELECT doc_id, i, h,
+                       h::HUGEINT * 4294967296 + (4294967295 - i) AS key
+                FROM kg
+            ),
+            winmin AS (
+                SELECT doc_id,
+                       MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                           AS mk,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+                FROM keyed
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, (mk // 4294967296)::UBIGINT AS sel_h,
+                       (4294967295 - (mk % 4294967296))::BIGINT AS sel_i
+                FROM winmin WHERE rn >= 4
+            ),
+            fp_long AS (SELECT doc_id, bit_xor(sel_h) AS fp
+                        FROM sel GROUP BY doc_id),
+            fp_short AS (
+                SELECT k.doc_id, MIN(k.h) AS fp
+                FROM kg k JOIN counts c ON c.doc_id = k.doc_id AND c.nh < 4
+                GROUP BY k.doc_id
+            )
+            SELECT d.doc_id, COALESCE(l.fp, s.fp, 0)::UBIGINT AS fingerprint
+            FROM documents d
+            LEFT JOIN fp_long l ON l.doc_id = d.doc_id
+            LEFT JOIN fp_short s ON s.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # the M14 auto-engine heuristic mirrored end to end: the entry's page
+        # synthesis (SPA shell every 5th doc, tripled-article otherwise) is
+        # reconstructed as SQL string concat and every score term —
+        # empty-root, minimal/substantial text, noscript fallback, framework
+        # markers, script density, semantic content — as the same RE2 regex.
+        "js_requirement": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '<html><body><div id="root"></div></body></html>'
+                                 || repeat('pad', 800)
+                            ELSE '<html><body><article>' || text || ' ' || text
+                                 || ' ' || text || '</article></body></html>'
+                       END AS raw
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, raw,
+                       regexp_extract(raw, '(?i)<body[^>]*>([\s\S]*?)</body>', 1)
+                           AS body_html
+                FROM pages
+            ),
+            content AS (
+                SELECT doc_id, raw,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           body_html,
+                           '(?i)<script[\s\S]*?</script>', '', 'g'),
+                           '(?i)<style[\s\S]*?</style>', '', 'g'),
+                           '(?i)<noscript[\s\S]*?</noscript>', '', 'g'))
+                           AS content_html
+                FROM parts
+            ),
+            vis AS (
+                SELECT doc_id, raw, content_html,
+                       trim(regexp_replace(regexp_replace(content_html,
+                            '<[^>]+>', '', 'g'), '\s+', ' ', 'g')) AS visible
+                FROM content
+            ),
+            scored AS (
+                SELECT doc_id,
+                    (CASE WHEN regexp_matches(raw,
+                         '(?i)id=["''](?:root|app|__next|__nuxt)["''][^>]*>\s*</div>')
+                         THEN 3 ELSE 0 END)
+                  + (CASE WHEN length(visible) < 100 AND length(raw) > 2000
+                          THEN 3 ELSE 0 END)
+                  + (CASE WHEN len(regexp_extract_all(raw,
+                              '(?i)<noscript[^>]*>[\s\S]*?</noscript>')) > 0
+                           AND length(trim(regexp_replace(
+                               array_to_string(regexp_extract_all(raw,
+                                   '(?i)<noscript[^>]*>[\s\S]*?</noscript>'), ''),
+                               '<[^>]+>', '', 'g'))) > 30
+                          THEN 3 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(raw, '["'']__NEXT_DATA__["'']')
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(raw, '__NUXT__') THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(raw, 'window\.__INITIAL_STATE__')
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(raw, '(?i)data-reactroot')
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(raw, '(?i)ng-app|ng-controller')
+                          THEN 2 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(raw, '(?i)data-svelte')
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN len(regexp_extract_all(raw, '(?i)<script')) > 10
+                           AND length(visible) < 500 THEN 2 ELSE 0 END)
+                  + (CASE WHEN length(visible) > 1000 THEN -3
+                          WHEN length(visible) > 500 THEN -1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(content_html,
+                         '(?i)<(?:article|main)[^>]*>[\s\S]{200,}')
+                          THEN -1 ELSE 0 END)
+                  AS score
+                FROM vis
+            )
+            SELECT doc_id, score >= 3 AS js_required FROM scored ORDER BY doc_id
+        """,
+        # HyperLogLog re-derived: splitmix64 hash, p=12 register index from
+        # the top 12 bits, rank = leading zeros of the sentinel-capped
+        # remainder + 1 (exact via bin()-string length, not float log2),
+        # register max per day, FFGM estimate with linear-counting fallback.
+        # The per-register 2^-r terms span < 53 mantissa bits on any
+        # realistic corpus, so the float sum is order-independent (exact) and
+        # matches numpy's pairwise summation bit-for-bit.
+        "approx_distinct": f"""
+            WITH ev AS (
+                SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS day, user_id
+                FROM events
+            ),
+            hashed AS (
+                SELECT day, {_sm('user_id')} AS h FROM ev
+            ),
+            ranked AS (
+                SELECT day, (h >> 52)::BIGINT AS idx,
+                       65 - length(ltrim(bin(((h::UHUGEINT << 12)
+                           % {_M64})::UBIGINT | 2048::UBIGINT), '0')) AS rank
+                FROM hashed
+            ),
+            regs AS (SELECT day, idx, MAX(rank) AS r FROM ranked GROUP BY day, idx),
+            est AS (
+                SELECT day,
+                       (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                           (SUM(power(2.0, -r)) + (4096 - COUNT(*))) AS e_raw,
+                       4096 - COUNT(*) AS zeros
+                FROM regs GROUP BY day
+            )
+            SELECT day,
+                   CAST(ROUND(CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+                                   THEN 4096 * ln(4096.0 / zeros)
+                                   ELSE e_raw END, 0) AS BIGINT) AS approx_users
+            FROM est ORDER BY day
+        """,
+        # -- near-dup family: full SQL re-derivations (closed-form strhash) --
+        "ngram_dedup": f"""
+            WITH {_sql_shingle_cte("WHERE doc_id < " + str(_NGRAM_CAP))},
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+            FROM inter JOIN sizes na ON na.doc_id = a_id
+                       JOIN sizes nb ON nb.doc_id = b_id
+            WHERE i / (na.n + nb.n - i) >= 0.3
+            ORDER BY a_id, b_id
+        """,
+        # minhash: the ENTIRE LSH pipeline re-derived — closed-form perm
+        # params (splitmix64 counter streams, seed 99), signature
+        # min((a*h+b) mod 2^64 mod 2^61-1), r=2 FNV band fold, bucket
+        # candidates capped at [2,64] (bucket_candidate_pairs), exact-jaccard
+        # verify at threshold 0.5. Matching the Ray output bit-for-bit checks
+        # hashing, banding, bucketing AND verification in one oracle.
+        "minhash_dedup": f"""
+            WITH {_sql_shingle_cte()},
+            perms AS (
+                SELECT j, ({_sm('198 + 2*j')} | 1) AS a, {_sm('199 + 2*j')} AS b
+                FROM (SELECT unnest(range(64)) AS j)
+            ),
+            sig AS (
+                SELECT s.doc_id, p.j,
+                       MIN(((((p.a::UHUGEINT * s.h::UHUGEINT) % {_M64})
+                             + p.b::UHUGEINT) % {_M64}) % {_MERS})::UBIGINT AS v
+                FROM sh s CROSS JOIN perms p
+                GROUP BY s.doc_id, p.j
+            ),
+            bandv AS (
+                SELECT doc_id, (j // 2)::INT AS band,
+                       MAX(CASE WHEN j % 2 = 0 THEN v END) AS v0,
+                       MAX(CASE WHEN j % 2 = 1 THEN v END) AS v1
+                FROM sig GROUP BY doc_id, j // 2
+            ),
+            bh AS (
+                SELECT doc_id, band,
+                       ((xor((((xor({_FNV_OFF_BAND}::UBIGINT, v0::UBIGINT))::UHUGEINT
+                               * {_FNV_P}) % {_M64})::UBIGINT, v1::UBIGINT))::UHUGEINT
+                        * {_FNV_P} % {_M64})::UBIGINT AS band_hash
+                FROM bandv
+            ),
+            bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM bh GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM bh x
+                JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+                         AND x.doc_id < y.doc_id
+                JOIN bsz z ON z.band = x.band AND z.band_hash = x.band_hash
+                WHERE z.n BETWEEN 2 AND 64
+            ),
+            inter AS (
+                SELECT c.a_id, c.b_id, COUNT(*) AS i
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a_id
+                JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+            FROM inter JOIN sizes na ON na.doc_id = a_id
+                       JOIN sizes nb ON nb.doc_id = b_id
+            WHERE i / (na.n + nb.n - i) >= 0.5
+            ORDER BY a_id, b_id
+        """,
+        # simhash: per-bit majority votes over count-weighted token hashes,
+        # 4x16-bit band blocking, hamming<=3 verify via bit_count(xor).
+        "simhash_dedup": f"""
+            WITH toksrc AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            tok AS (
+                SELECT doc_id, w, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(toks) AS w FROM toksrc)
+                GROUP BY doc_id, w
+            ),
+            vocabf AS (SELECT w, {_SH.sql_fnv_fold('w', seed=dd.HASH_SEED)} AS f
+                       FROM (SELECT DISTINCT w FROM tok)),
+            vocab AS (SELECT w, {_SH.sql_splitmix64('f')} AS h FROM vocabf),
+            tot AS (SELECT doc_id, SUM(cnt) AS total FROM tok GROUP BY doc_id),
+            votes AS (
+                SELECT t.doc_id, b.p,
+                       SUM(CASE WHEN (v.h >> b.p) % 2 = 1 THEN t.cnt ELSE 0 END)
+                           AS ones
+                FROM tok t
+                JOIN vocab v ON v.w = t.w
+                CROSS JOIN (SELECT unnest(range(64)) AS p) b
+                GROUP BY t.doc_id, b.p
+            ),
+            sim AS (
+                SELECT v.doc_id,
+                       SUM(CASE WHEN v.ones > tot.total / 2.0
+                                THEN (1::HUGEINT << v.p::INT)
+                                ELSE 0::HUGEINT END)::UBIGINT AS h
+                FROM votes v JOIN tot ON tot.doc_id = v.doc_id
+                GROUP BY v.doc_id
+            ),
+            bandrows AS (
+                SELECT doc_id, b.i::INT AS band,
+                       ((h >> (16 * b.i)::INT) % 65536)::INT AS band_val, h
+                FROM sim CROSS JOIN (SELECT unnest(range(4)) AS i) b
+            )
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                   bit_count(xor(x.h, y.h))::INT AS hamming
+            FROM bandrows x
+            JOIN bandrows y ON x.band = y.band AND x.band_val = y.band_val
+                           AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.h, y.h)) <= 3
             ORDER BY a_id, b_id
         """,
     }

@@ -116,6 +116,12 @@ SQL_CHECKED = [
     "rolling_events",
     "stratified_sample",
     "resumable_write",
+    "ngram_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "doc_fingerprint",
+    "js_requirement",
+    "approx_distinct",
 ]
 
 
@@ -129,10 +135,9 @@ def test_sql_checked(registry, duck, name):
 
 
 ROWS_ONLY = [
-    "approx_distinct",
-    "crawl_bfs", "crawl_spans", "minhash_dedup", "simhash_dedup",
-    "doc_fingerprint", "media_features", "serp_parse", "js_requirement",
-    "ngram_dedup", "monitor_diff", "search_scrape", "ann_ivf",
+    "crawl_bfs", "crawl_spans",
+    "media_features", "serp_parse",
+    "monitor_diff", "search_scrape", "ann_ivf",
     "embedding_dedup_lsh",
 ]
 
@@ -143,8 +148,6 @@ def test_rows_only(registry, name):
     assert name in queries and name not in oracles
     df = _to_pandas(queries[name](SF_DIR))
     assert len(df.columns) > 0
-    if name in ("minhash_dedup", "simhash_dedup"):
-        return  # may legitimately be empty on a no-dup corpus
     assert len(df) > 0, f"{name} returned no rows"
 
 
