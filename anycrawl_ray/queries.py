@@ -2576,6 +2576,67 @@ _FNV_P = "1099511628211"
 _WINNOW_POWS = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
 
 
+def _sql_minhash_pairs_block() -> str:
+    """CTE chain re-deriving the ENTIRE minhash LSH pipeline, ending in a
+    ``pairs(a_id, b_id, jaccard)`` CTE: closed-form perm params (splitmix64
+    counter streams, seed 99), signature min((a*h+b) mod 2^64 mod 2^61-1),
+    r=2 FNV band fold, bucket candidates capped at [2,64]
+    (bucket_candidate_pairs), exact-jaccard verify at threshold 0.5.
+    Shared by the minhash_dedup / dedup_keep_best / graph_components
+    oracles — matching the Ray output bit-for-bit checks hashing, banding,
+    bucketing AND verification at once."""
+    from .functions import strhash as _SH
+
+    _sm = _SH.sql_splitmix64
+    return f"""{_sql_shingle_cte()},
+            perms AS (
+                SELECT j, ({_sm('198 + 2*j')} | 1) AS a, {_sm('199 + 2*j')} AS b
+                FROM (SELECT unnest(range(64)) AS j)
+            ),
+            sig AS (
+                SELECT s.doc_id, p.j,
+                       MIN(((((p.a::UHUGEINT * s.h::UHUGEINT) % {_M64})
+                             + p.b::UHUGEINT) % {_M64}) % {_MERS})::UBIGINT AS v
+                FROM sh s CROSS JOIN perms p
+                GROUP BY s.doc_id, p.j
+            ),
+            bandv AS (
+                SELECT doc_id, (j // 2)::INT AS band,
+                       MAX(CASE WHEN j % 2 = 0 THEN v END) AS v0,
+                       MAX(CASE WHEN j % 2 = 1 THEN v END) AS v1
+                FROM sig GROUP BY doc_id, j // 2
+            ),
+            bh AS (
+                SELECT doc_id, band,
+                       ((xor((((xor({_FNV_OFF_BAND}::UBIGINT, v0::UBIGINT))::UHUGEINT
+                               * {_FNV_P}) % {_M64})::UBIGINT, v1::UBIGINT))::UHUGEINT
+                        * {_FNV_P} % {_M64})::UBIGINT AS band_hash
+                FROM bandv
+            ),
+            bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM bh GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM bh x
+                JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+                         AND x.doc_id < y.doc_id
+                JOIN bsz z ON z.band = x.band AND z.band_hash = x.band_hash
+                WHERE z.n BETWEEN 2 AND 64
+            ),
+            inter AS (
+                SELECT c.a_id, c.b_id, COUNT(*) AS i
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a_id
+                JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a_id, b_id, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+                FROM inter JOIN sizes na ON na.doc_id = a_id
+                           JOIN sizes nb ON nb.doc_id = b_id
+                WHERE i / (na.n + nb.n - i) >= 0.5
+            )"""
+
+
 def _sql_shingle_cte(where: str = "") -> str:
     """CTE block re-deriving the near-dup family's per-doc shingle-hash sets
     in SQL: k=3 token shingles hashed with the closed-form strhash scheme —
@@ -3398,52 +3459,64 @@ def build_oracle_sql() -> dict[str, str]:
         # verify at threshold 0.5. Matching the Ray output bit-for-bit checks
         # hashing, banding, bucketing AND verification in one oracle.
         "minhash_dedup": f"""
-            WITH {_sql_shingle_cte()},
-            perms AS (
-                SELECT j, ({_sm('198 + 2*j')} | 1) AS a, {_sm('199 + 2*j')} AS b
-                FROM (SELECT unnest(range(64)) AS j)
+            WITH {_sql_minhash_pairs_block()}
+            SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id
+        """,
+        # minhash pairs -> connected components (recursive transitive
+        # closure; component = min member id) -> best-quality representative
+        # per cluster, reusing the oracle-green quality formula — the full
+        # corpus-composition pipeline re-derived in one SQL program.
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_sql_minhash_pairs_block()},
+            edges AS (
+                SELECT a_id AS a, b_id AS b FROM pairs
+                UNION SELECT b_id, a_id FROM pairs
             ),
-            sig AS (
-                SELECT s.doc_id, p.j,
-                       MIN(((((p.a::UHUGEINT * s.h::UHUGEINT) % {_M64})
-                             + p.b::UHUGEINT) % {_M64}) % {_MERS})::UBIGINT AS v
-                FROM sh s CROSS JOIN perms p
-                GROUP BY s.doc_id, p.j
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             ),
-            bandv AS (
-                SELECT doc_id, (j // 2)::INT AS band,
-                       MAX(CASE WHEN j % 2 = 0 THEN v END) AS v0,
-                       MAX(CASE WHEN j % 2 = 1 THEN v END) AS v1
-                FROM sig GROUP BY doc_id, j // 2
+            comp AS (
+                SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id
+                FROM reach GROUP BY a
             ),
-            bh AS (
-                SELECT doc_id, band,
-                       ((xor((((xor({_FNV_OFF_BAND}::UBIGINT, v0::UBIGINT))::UHUGEINT
-                               * {_FNV_P}) % {_M64})::UBIGINT, v1::UBIGINT))::UHUGEINT
-                        * {_FNV_P} % {_M64})::UBIGINT AS band_hash
-                FROM bandv
+            scored AS (
+                SELECT c.cluster_id, d.doc_id, {quality_expr} AS score
+                FROM comp c JOIN documents d ON d.doc_id = c.id
             ),
-            bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM bh GROUP BY 1, 2),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-                FROM bh x
-                JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
-                         AND x.doc_id < y.doc_id
-                JOIN bsz z ON z.band = x.band AND z.band_hash = x.band_hash
-                WHERE z.n BETWEEN 2 AND 64
+            agg AS (
+                SELECT cluster_id, COUNT(*) AS n_members,
+                       MAX(score) AS best_score
+                FROM scored GROUP BY cluster_id
             ),
-            inter AS (
-                SELECT c.a_id, c.b_id, COUNT(*) AS i
-                FROM cand c
-                JOIN sh sa ON sa.doc_id = c.a_id
-                JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
-                GROUP BY 1, 2
+            keep AS (
+                SELECT cluster_id, doc_id AS keep_doc_id FROM (
+                    SELECT cluster_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY score DESC, doc_id) AS rn
+                    FROM scored
+                ) WHERE rn = 1
             )
-            SELECT a_id, b_id, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
-            FROM inter JOIN sizes na ON na.doc_id = a_id
-                       JOIN sizes nb ON nb.doc_id = b_id
-            WHERE i / (na.n + nb.n - i) >= 0.5
-            ORDER BY a_id, b_id
+            SELECT a.cluster_id, k.keep_doc_id, a.n_members, a.best_score
+            FROM agg a JOIN keep k USING (cluster_id)
+            ORDER BY cluster_id
+        """,
+        # the sharded label-propagation actors' fixpoint re-derived as a
+        # recursive transitive closure over the same minhash pair graph.
+        "graph_components": f"""
+            WITH RECURSIVE {_sql_minhash_pairs_block()},
+            edges AS (
+                SELECT a_id AS a, b_id AS b FROM pairs
+                UNION SELECT b_id, a_id FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS node, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a ORDER BY node
         """,
         # simhash: per-bit majority votes over count-weighted token hashes,
         # 4x16-bit band blocking, hamming<=3 verify via bit_count(xor).

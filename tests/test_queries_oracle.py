@@ -122,6 +122,8 @@ SQL_CHECKED = [
     "doc_fingerprint",
     "js_requirement",
     "approx_distinct",
+    "dedup_keep_best",
+    "graph_components",
 ]
 
 
