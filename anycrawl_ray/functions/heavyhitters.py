@@ -1,0 +1,167 @@
+"""Exact distributed top-k frequent items without a vocabulary shuffle.
+
+The naive exact top-k tokens is `groupby(token).count()` — an all-to-all
+shuffle of the ENTIRE vocabulary (billions of distinct tokens at 100 TB).
+This module implements the two-pass sketch-then-verify pattern instead:
+
+1. **Candidate pass** — a Misra-Gries summary (Misra & Gries 1982, public)
+   as a mergeable Ray Data ``AggregateFn``: every accumulator is a bounded
+   dict of at most ``m`` counters, blocks fold in their exact token counts,
+   and summaries merge by counter addition + trim (Agarwal et al. 2013,
+   "Mergeable Summaries", PODS — the trim error adds across merges and the
+   final summary satisfies the same guarantee as a sequential MG run:
+   every token with true count > err survives). Constant O(m) bytes flow
+   through the aggregate tree — like the HLL sketch in functions/sketch.py,
+   the shuffle cost is independent of vocabulary size.
+2. **Exact recount pass** — the candidate set (<= m tokens) broadcasts via
+   ``ray.put``; one streaming ``map_batches`` emits per-block counts for
+   candidate tokens only (vectorized is_in + value_counts), and a
+   candidate-sized ``groupby(token).sum`` yields EXACT counts.
+
+The result is exact-and-deterministic, so it is DuckDB-oracle-checked
+(`heavy_hitters` in queries.py) — unusual for a sketch-based operator. The
+guarantee is CHECKED, not assumed: ``top_k_exact`` verifies that the k-th
+exact count exceeds the summary's accumulated trim error (which proves every
+true top-k token was a candidate) and raises otherwise, telling the caller
+to raise ``m``.
+
+Reference anchor: the reference has no heavy-hitter operator (closest is
+the A1 counters family, packages/scrape/src/managers/Progress.ts); this is
+part of the LLM-corpus toolkit (vocabulary heavy hitters / stopword mining).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _block_token_counts(texts: list[str]) -> pl.DataFrame:
+    """Exact (token, n) counts for a batch — ONE C-level split over the
+    joined text (token counting does not care about doc boundaries)."""
+    toks = " ".join(texts).split()
+    if not toks:
+        return pl.DataFrame({"token": pl.Series([], dtype=pl.String),
+                             "n": pl.Series([], dtype=pl.Int64)})
+    vc = pl.Series("token", toks).value_counts()
+    return vc.rename({"count": "n"}).with_columns(pl.col("n").cast(pl.Int64))
+
+
+def mg_merge_counts(acc: dict, tokens, counts, m: int) -> dict:
+    """Fold exact (token, count) pairs into a Misra-Gries summary of size m.
+
+    acc = {"c": {token: count}, "err": int, "n": int}. Trimming subtracts
+    the (m+1)-th largest count from every counter and drops non-positives;
+    the subtracted amount adds to ``err`` (the summary's one-sided error
+    bound: stored <= true <= stored + err for survivors, true <= err for
+    evicted tokens).
+    """
+    c = acc["c"]
+    for t, n in zip(tokens, counts):
+        c[t] = c.get(t, 0) + int(n)
+    if len(c) > m:
+        vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        # (m+1)-th largest = cutoff; subtract it everywhere
+        cutoff = int(np.partition(vals, len(vals) - m - 1)[len(vals) - m - 1])
+        acc["c"] = {t: n - cutoff for t, n in c.items() if n > cutoff}
+        acc["err"] += cutoff
+    return acc
+
+
+def mg_aggregate(on: str = "text", m: int = 4096, name: str = "mg_summary"):
+    """ray.data AggregateFn: global Misra-Gries candidate summary over a
+    text column. Finalize emits (tokens, err, n_total)."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key):
+        return {"c": {}, "err": 0, "n": 0}
+
+    def accumulate_block(acc: dict, block) -> dict:
+        if isinstance(block, pa.Table):
+            texts = block.column(on).to_pylist()
+        else:
+            texts = block[on].tolist()
+        vc = _block_token_counts(texts)
+        acc["n"] += int(vc["n"].sum() or 0)
+        return mg_merge_counts(acc, vc["token"].to_list(), vc["n"].to_list(), m)
+
+    def merge(a: dict, b: dict) -> dict:
+        a["err"] += b["err"]
+        a["n"] += b["n"]
+        return mg_merge_counts(a, list(b["c"].keys()), list(b["c"].values()), m)
+
+    def finalize(acc: dict) -> dict:
+        return {"tokens": sorted(acc["c"].keys()), "err": acc["err"],
+                "n": acc["n"]}
+
+    return AggregateFn(init=init, merge=merge, name=name,
+                       accumulate_block=accumulate_block, finalize=finalize)
+
+
+def exact_recount(docs: rd.Dataset, candidates: list[str], *,
+                  on: str = "text") -> pa.Table:
+    """Streaming exact counts for the candidate tokens only: broadcast the
+    candidate set once, emit per-block candidate counts, candidate-sized
+    groupby-sum (never a vocabulary shuffle)."""
+    cand_ref = ray.put(pl.Series("token", candidates))
+
+    def f(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        vc = _block_token_counts(t.column(on).to_pylist())
+        vc = vc.filter(pl.col("token").is_in(cands))
+        return vc.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n", pa.int64())])
+        )
+
+    out = (
+        docs.map_batches(f, batch_format="pyarrow", batch_size=2048)
+        .groupby("token")
+        .sum("n")
+    )
+    t = out.to_arrow_refs()
+    parts = [p for p in ray.get(t) if p.num_rows]
+    if not parts:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
+    return merged.rename_columns(["token", "n"])
+
+
+def top_k_exact(docs: rd.Dataset, *, k: int = 100, m: int = 4096,
+                on: str = "text") -> pa.Table:
+    """Exact top-k (token, n), ties broken by token ascending.
+
+    Raises RuntimeError if the MG guarantee cannot prove the candidate set
+    covers the true top-k (k-th exact count must exceed the accumulated trim
+    error) — raise ``m`` in that case rather than silently returning a
+    possibly-wrong list.
+    """
+    summary = docs.aggregate(mg_aggregate(on=on, m=m))["mg_summary"]
+    if not summary["tokens"]:
+        if summary["err"] > 0:
+            # trims happened and NOTHING survived: the corpus is flatter
+            # than m can cover — returning empty would be silently wrong
+            raise RuntimeError(
+                f"MG guarantee not met: no candidates survived trim error "
+                f"{summary['err']}; increase m (={m})"
+            )
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    counts = exact_recount(docs, summary["tokens"], on=on)
+    df = pl.from_arrow(counts).sort(["n", "token"], descending=[True, False])
+    top = df.head(k)
+    if summary["err"] > 0:
+        # err == 0 means no counter was ever trimmed: the summary IS the
+        # exact full vocabulary and the result is unconditionally right.
+        kth = int(top["n"][-1]) if len(df) >= k else 0
+        if kth <= summary["err"]:
+            raise RuntimeError(
+                f"MG guarantee not met: k-th count {kth} <= trim error "
+                f"{summary['err']}; increase m (={m})"
+            )
+    return top.to_arrow().cast(
+        pa.schema([("token", pa.string()), ("n", pa.int64())])
+    )

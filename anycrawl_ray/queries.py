@@ -2432,6 +2432,37 @@ def q_daily_active_users(sf_dir: str):
     return _collect(_co_partitioned(mapped, "day", kernel, n_parts=8)).sort_by("day")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-100 tokens WITHOUT a vocabulary shuffle: Misra-Gries
+    candidate summary as a mergeable AggregateFn (constant O(m) accumulator
+    through the aggregate tree), then a broadcast exact recount of the
+    candidates only; the MG coverage guarantee is checked, not assumed
+    (functions/heavyhitters.py). Exact + deterministic => oracle-checked."""
+    from .functions.heavyhitters import top_k_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_k_exact(ds, k=100, m=2048)
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Semi-join via broadcast bloom prefilter + exact verify (no shuffle):
+    orders of AUTOMOBILE-segment customers. The bloom (12 bits/key) drops
+    non-matching orders with vectorized hash probes before the exact check
+    touches candidates (functions/bloomjoin.py)."""
+    from .functions.bloomjoin import bloom_semijoin
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    kt = _collect(cust.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), "AUTOMOBILE")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ))
+    keys = kt.column("c_custkey").to_numpy()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return _collect(bloom_semijoin(orders, "o_custkey", keys)).sort_by("o_orderkey")
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog COUNT(DISTINCT) per window — the sketch path for
     `daily_active_users`: each group ships a constant 4 KB register array
@@ -2541,6 +2572,8 @@ def build_queries() -> dict[str, Callable]:
         "rolling_events": q_rolling_events,
         "stratified_sample": q_stratified_sample,
         "resumable_write": q_resumable_write,
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_semijoin": q_bloom_semijoin,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3267,6 +3300,21 @@ def build_oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
             ORDER BY a_id, b_id
+        """,
+        # heavy_hitters is exact-and-deterministic despite the sketch pass
+        # (MG only proposes candidates; counts are exact recounts), so a
+        # plain GROUP BY oracle pins it. Tie rule: count desc, token asc.
+        "heavy_hitters": f"""
+            WITH t AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, COUNT(*)::BIGINT AS n FROM t GROUP BY token)
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
+        """,
+        "bloom_semijoin": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'AUTOMOBILE')
+            ORDER BY o_orderkey
         """,
         # winnowing (Schleimer et al. 2003) re-derived in SQL: Rabin-Karp
         # k-gram hashes as an 8-way position join (products reduced mod 2^64

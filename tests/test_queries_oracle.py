@@ -124,6 +124,8 @@ SQL_CHECKED = [
     "approx_distinct",
     "dedup_keep_best",
     "graph_components",
+    "heavy_hitters",
+    "bloom_semijoin",
 ]
 
 
