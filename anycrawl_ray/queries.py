@@ -2432,6 +2432,41 @@ def q_daily_active_users(sf_dir: str):
     return _collect(_co_partitioned(mapped, "day", kernel, n_parts=8)).sort_by("day")
 
 
+def q_token_count_bpe(sf_dir: str):
+    """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
+    complement to whitespace token_count) — vectorized Arrow RE2."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_bpe": pa.array(
+                 tx.bpe_token_counts(t.column("text").combine_chunks()),
+                 pa.int64())}
+        )
+
+    return _text_map(sf_dir, f)
+
+
+def q_pagerank(sf_dir: str):
+    """Link-authority scoring of the crawl corpus: streaming link-edge
+    extraction (canonicalize + fragment-strip + broadcast-index resolve,
+    dead links dropped) into sharded power-iteration actors
+    (functions/pagerank.py). Rows-only: iterative float fixpoint is not
+    SQL-expressible; parity vs a dense numpy reference is pinned by
+    tests/test_pagerank.py, and the rank column sums to ~1 by construction."""
+    from .functions.pagerank import link_edges, pagerank
+
+    n_pages = 300
+    corpus = generate_corpus(sf_dir, CorpusConfig(n_pages=n_pages))
+    edges = link_edges(corpus)
+    t = pagerank(edges, n_nodes=n_pages)
+    return pa.table(
+        {"node": t.column("node"),
+         "rank": pa.array(
+             _round6_half_away(t.column("rank").to_numpy()), pa.float64())}
+    )
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact top-100 tokens WITHOUT a vocabulary shuffle: Misra-Gries
     candidate summary as a mergeable AggregateFn (constant O(m) accumulator
@@ -2574,6 +2609,8 @@ def build_queries() -> dict[str, Callable]:
         "resumable_write": q_resumable_write,
         "heavy_hitters": q_heavy_hitters,
         "bloom_semijoin": q_bloom_semijoin,
+        "token_count_bpe": q_token_count_bpe,
+        "pagerank": q_pagerank,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3315,6 +3352,13 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
+                       AS n_bpe
+            FROM documents ORDER BY doc_id
         """,
         # winnowing (Schleimer et al. 2003) re-derived in SQL: Rabin-Karp
         # k-gram hashes as an 8-way position join (products reduced mod 2^64

@@ -191,7 +191,7 @@ def bench_queries() -> dict[str, float]:
         "decontaminate", "sequence_pack", "corpus_funnel", "inverted_index",
         "tfidf_topk", "unigram_logprob", "group_quantiles", "rolling_events",
         "stratified_sample", "resumable_write", "approx_distinct",
-        "heavy_hitters", "bloom_semijoin",
+        "heavy_hitters", "bloom_semijoin", "token_count_bpe", "pagerank",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

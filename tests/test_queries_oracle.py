@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "graph_components",
     "heavy_hitters",
     "bloom_semijoin",
+    "token_count_bpe",
 ]
 
 
@@ -139,6 +140,7 @@ def test_sql_checked(registry, duck, name):
 
 
 ROWS_ONLY = [
+    "pagerank",
     "crawl_bfs", "crawl_spans",
     "media_features", "serp_parse",
     "monitor_diff", "search_scrape", "ann_ivf",
