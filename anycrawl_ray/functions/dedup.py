@@ -307,6 +307,36 @@ def bucket_candidate_pairs(t: pa.Table, max_bucket: int = 64) -> pa.Table:
     )
 
 
+def bucket_candidate_pairs_incremental(t: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Incremental variant of bucket_candidate_pairs: band rows carry
+    ``is_new`` and only pairs touching >= 1 new doc are emitted. Bucket
+    qualification [2, max_bucket] counts the WHOLE bucket (old + new), so
+    the output equals the full recompute's candidate set filtered to
+    new-touching pairs (parity-tested + SQL-oracled)."""
+    df = pl.from_arrow(t.select(["band", "band_hash", "doc_id", "is_new"]))
+    grouped = (
+        df.group_by(["band", "band_hash"])
+        .agg(pl.col("doc_id").alias("ids"), pl.col("is_new").alias("news"),
+             pl.len().alias("n"))
+        .filter((pl.col("n") >= 2) & (pl.col("n") <= max_bucket)
+                & pl.col("news").list.any())
+    )
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for ids, news in zip(grouped["ids"].to_list(), grouped["news"].to_list()):
+        order = np.argsort(np.asarray(ids, dtype=np.int64))
+        ids_s = np.asarray(ids, dtype=np.int64)[order]
+        new_s = np.asarray(news, dtype=bool)[order]
+        for i in range(len(ids_s)):
+            for j in range(i + 1, len(ids_s)):
+                if new_s[i] or new_s[j]:
+                    a_out.append(int(ids_s[i]))
+                    b_out.append(int(ids_s[j]))
+    return pa.table(
+        {"a_id": pa.array(a_out, pa.int64()), "b_id": pa.array(b_out, pa.int64())}
+    )
+
+
 def make_shingle_fn(ids_ref, k: int = 3):
     """Task-based map_batches fn: emit (doc_id, sh binary) for candidate
     docs only (semi-join pushdown — the PRE-SORTED candidate id array is

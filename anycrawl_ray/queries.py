@@ -1073,6 +1073,17 @@ def minhash_dedup_dataset(
     cand = band_ds.groupby("part").map_groups(
         dd.bucket_candidate_pairs, batch_format="pyarrow"
     ).materialize()
+    return _verify_minhash_candidates(cand, docs, threshold=threshold, k=k,
+                                      verify=verify)
+
+
+def _verify_minhash_candidates(
+    cand: rd.Dataset, docs: rd.Dataset, *, threshold: float, k: int,
+    verify: str = "broadcast",
+) -> pa.Table:
+    """Shared exact-jaccard verify tail: distinct candidate ids (semi-join
+    broadcast filter), distributed candidate-only shingling, plasma-shard or
+    reduce-side-join verification."""
     # distinct candidate doc ids (the semi-join broadcast filter) in ONE pass
     both = cand.map_batches(
         lambda t: pa.table(
@@ -1109,6 +1120,63 @@ def minhash_dedup_dataset(
     return _dedup_pair_table(_collect(out), "jaccard")
 
 
+def write_minhash_index(
+    docs: rd.Dataset, index_dir: str, *, num_perms: int = 64, k: int = 3,
+    bands: int = 32, n_parts: int = 32,
+) -> None:
+    """Persist the corpus's LSH band rows as a ``part``-partitioned parquet
+    index (~28 B/row) — the continuous-ingestion asset: new shards dedup
+    against the whole corpus by joining THEIR band rows with this index,
+    never recomputing (or even reading) existing documents' text."""
+    docs.map_batches(
+        dd.make_minhash_band_fn(num_perms=num_perms, k=k, bands=bands,
+                                n_parts=n_parts),
+        batch_format="pyarrow", batch_size=2048,
+    ).write_parquet(index_dir, partition_cols=["part"])
+
+
+def minhash_dedup_incremental(
+    new_docs: rd.Dataset, index_dir: str, all_docs: rd.Dataset, *,
+    num_perms: int = 64, k: int = 3, bands: int = 32, threshold: float = 0.5,
+    n_parts: int = 32, verify: str = "broadcast",
+) -> pa.Table:
+    """Near-dup pairs touching >= 1 NEW doc, against a persisted band index.
+
+    New band rows stream from ``new_docs``; existing rows stream from the
+    partitioned index (same ``part`` key, so the ONE groupby("part") shuffle
+    co-locates old and new rows of every bucket). Bucket qualification
+    counts old+new members, making the output exactly the full recompute's
+    pair set filtered to new-touching pairs (parity-tested; SQL oracle is
+    the full minhash derivation + that WHERE clause). ``all_docs`` supplies
+    text for the verify step only for CANDIDATE ids (semi-join pushdown) —
+    the existing corpus is never re-shingled wholesale.
+    """
+    new_band = new_docs.map_batches(
+        dd.make_minhash_band_fn(num_perms=num_perms, k=k, bands=bands,
+                                n_parts=n_parts),
+        batch_format="pyarrow", batch_size=2048,
+    ).map_batches(
+        lambda t: t.append_column("is_new", pa.array([True] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+    # hive partitioning reads the `part` key back as string — re-cast
+    old_band = rd.read_parquet(index_dir).map_batches(
+        lambda t: pa.table({
+            "band": t.column("band"),
+            "band_hash": t.column("band_hash"),
+            "doc_id": t.column("doc_id"),
+            "part": pc.cast(t.column("part"), pa.int32()),
+            "is_new": pa.array([False] * t.num_rows),
+        }),
+        batch_format="pyarrow",
+    )
+    cand = old_band.union(new_band).groupby("part").map_groups(
+        dd.bucket_candidate_pairs_incremental, batch_format="pyarrow"
+    ).materialize()
+    return _verify_minhash_candidates(cand, all_docs, threshold=threshold,
+                                      k=k, verify=verify)
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold 0.5).
     Oracle-checked end to end: the DuckDB mirror re-derives shingle hashes,
@@ -1135,6 +1203,28 @@ def simhash_dedup_dataset(
         batch_format="pyarrow",
     )
     return _dedup_pair_table(_collect(out), "hamming", pa.int32())
+
+
+_INCR_SPLIT = 400  # docs below = indexed corpus; at/above = arriving shard
+
+
+def q_minhash_incremental(sf_dir: str):
+    """Continuous-ingestion near-dup: documents with doc_id < 400 are the
+    already-indexed corpus (band rows persisted as a part-partitioned
+    parquet index), docs >= 400 are the arriving shard; output = verified
+    pairs touching the shard. The existing corpus's text is only read for
+    CANDIDATE ids — at 100 TB the index (~28 B/row) is all that persists
+    between ingests. Oracle: the full-recompute SQL filtered to
+    new-touching pairs (exactness of the incremental path is the claim)."""
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    old = docs.filter(expr=f"doc_id < {_INCR_SPLIT}")
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id >= {_INCR_SPLIT}")
+    idx_dir = tempfile.mkdtemp(prefix="anycrawl_mh_index_")
+    write_minhash_index(old, idx_dir)
+    return minhash_dedup_incremental(new, idx_dir, docs)
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -2611,6 +2701,7 @@ def build_queries() -> dict[str, Callable]:
         "bloom_semijoin": q_bloom_semijoin,
         "token_count_bpe": q_token_count_bpe,
         "pagerank": q_pagerank,
+        "minhash_incremental": q_minhash_incremental,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3553,6 +3644,14 @@ def build_oracle_sql() -> dict[str, str]:
         "minhash_dedup": f"""
             WITH {_sql_minhash_pairs_block()}
             SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id
+        """,
+        # incremental-ingest exactness claim: index + shard must equal the
+        # full recompute restricted to shard-touching pairs.
+        "minhash_incremental": f"""
+            WITH {_sql_minhash_pairs_block()}
+            SELECT a_id, b_id, jaccard FROM pairs
+            WHERE a_id >= {_INCR_SPLIT} OR b_id >= {_INCR_SPLIT}
+            ORDER BY a_id, b_id
         """,
         # minhash pairs -> connected components (recursive transitive
         # closure; component = min member id) -> best-quality representative

@@ -241,3 +241,42 @@ def test_embedding_lsh_recall_on_clustered_corpus(ray_session):
                        out.column("b_id").to_pylist(),
                        out.column("cos").to_pylist()):
         assert abs(c - round(float(sims[a, b]), 6)) < 1e-9
+
+
+def test_minhash_incremental_equals_filtered_full(ray_session):
+    """Index(old) + shard(new) must equal full recompute filtered to
+    new-touching pairs — the exactness claim of the incremental path."""
+    import tempfile
+
+    import ray.data as rd
+
+    from anycrawl_ray.queries import (
+        minhash_dedup_dataset,
+        minhash_dedup_incremental,
+        write_minhash_index,
+    )
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    split = 400
+    docs = rd.read_parquet(sf, columns=["doc_id", "text"])
+    full = minhash_dedup_dataset(rd.read_parquet(sf, columns=["doc_id", "text"]))
+    idx_dir = tempfile.mkdtemp(prefix="mh_idx_test_")
+    write_minhash_index(docs.filter(expr=f"doc_id < {split}"), idx_dir)
+    inc = minhash_dedup_incremental(
+        rd.read_parquet(sf, columns=["doc_id", "text"]).filter(
+            expr=f"doc_id >= {split}"),
+        idx_dir,
+        rd.read_parquet(sf, columns=["doc_id", "text"]),
+    )
+    want = [
+        (a, b, j)
+        for a, b, j in zip(full.column("a_id").to_pylist(),
+                           full.column("b_id").to_pylist(),
+                           full.column("jaccard").to_pylist())
+        if a >= split or b >= split
+    ]
+    got = list(zip(inc.column("a_id").to_pylist(),
+                   inc.column("b_id").to_pylist(),
+                   inc.column("jaccard").to_pylist()))
+    assert got == want
+    assert len(got) > 0  # fixture must actually exercise the path

@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "heavy_hitters",
     "bloom_semijoin",
     "token_count_bpe",
+    "minhash_incremental",
 ]
 
 
