@@ -81,6 +81,83 @@ def kmeans_lite(
     return centroids
 
 
+def write_ivf_index(
+    emb_ds, index_dir: str, *, n_cells: int = 8, fit_sample: "pa.Table" = None,
+    seed: int = 17,
+) -> np.ndarray:
+    """Persist an IVF index: centroids once (centroids.npy-shaped parquet) +
+    every vector into its cell's parquet partition. The queryable asset of
+    the embedding corpus — searches read ONLY the nprobe probed cell
+    partitions (partition pruning at the read), never the full table.
+    Returns the (normalized) centroid matrix.
+
+    Centroids fit on a bounded sample (caller-provided or the index build
+    would need a full pass anyway); assignment is one broadcast + one
+    streaming map_batches, same discipline as q_ann_ivf.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd  # noqa: F401  (typing aid)
+
+    from .dedup import l2_normalize
+
+    if fit_sample is None:
+        raise ValueError("write_ivf_index needs a bounded fit_sample table")
+    cents = l2_normalize(kmeans_lite(embedding_matrix(fit_sample), n_cells,
+                                     seed=seed))
+    bcast = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(bcast)
+        mat = l2_normalize(embedding_matrix(t))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cell, pa.int32()))
+
+    emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=2048) \
+        .write_parquet(os.path.join(index_dir, "cells"),
+                       partition_cols=["cell"])
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(cents)), pa.int32()),
+                  "centroid": pa.array([c.tolist() for c in cents],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return cents
+
+
+def ann_ivf_indexed(
+    index_dir: str, query: np.ndarray, *, k: int = 10, nprobe: int = 4,
+) -> list[tuple[int, float]]:
+    """Top-k over a persisted IVF index: read centroids, pick nprobe cells,
+    read ONLY those cell partitions, vectorized cosine + merge."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .dedup import l2_normalize
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in
+         cent_t.column("centroid").to_pylist()])
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    order = np.argsort(-(cents @ qn))[:nprobe]
+    merger = TopKMerger(k)
+    for c in order:
+        part = os.path.join(index_dir, "cells", f"cell={int(c)}")
+        files = glob.glob(os.path.join(part, "*.parquet"))
+        if not files:
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        ids = t.column("vec_id").to_numpy()
+        mat = l2_normalize(embedding_matrix(t))
+        merger.offer(ids, mat @ qn)
+    return merger.result()
+
+
 class IVFIndex:
     """Inverted-file ANN: probe nprobe nearest cells only."""
 

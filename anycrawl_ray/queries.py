@@ -2522,6 +2522,37 @@ def q_daily_active_users(sf_dir: str):
     return _collect(_co_partitioned(mapped, "day", kernel, n_parts=8)).sort_by("day")
 
 
+def q_ann_indexed(sf_dir: str):
+    """ANN over a PERSISTED IVF index — the embedding counterpart of the
+    minhash band index: cells written once as partitioned parquet + a tiny
+    centroids table; each search reads ONLY its nprobe probed cell
+    partitions (prune at the read). Same centroids/fit/nprobe as q_ann_ivf,
+    so the result set is identical to the streamed path (equality-tested in
+    tests/test_ann.py); rows-only for the same approximate-recall reason."""
+    import tempfile
+
+    from .functions.ann import ann_ivf_indexed, write_ivf_index
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = pq.ParquetFile(emb_path).read_row_group(
+        0, columns=["vec_id", "embedding"]).slice(0, 2048)
+    idx_dir = tempfile.mkdtemp(prefix="anycrawl_ivf_")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    write_ivf_index(ds, idx_dir, n_cells=8, fit_sample=sample)
+
+    q0 = sample.filter(pc.equal(sample.column("vec_id"), 0))
+    if q0.num_rows == 0:
+        full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        q0 = full.filter(pc.equal(full.column("vec_id"), 0))
+    query = np.asarray(q0.column("embedding")[0].as_py(), dtype=np.float64)
+    rows = ann_ivf_indexed(idx_dir, query, k=10, nprobe=6)
+    return pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "cos": pa.array(_round6_half_away([r[1] for r in rows]),
+                         pa.float64())}
+    )
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -2702,6 +2733,7 @@ def build_queries() -> dict[str, Callable]:
         "token_count_bpe": q_token_count_bpe,
         "pagerank": q_pagerank,
         "minhash_incremental": q_minhash_incremental,
+        "ann_indexed": q_ann_indexed,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,

@@ -107,3 +107,15 @@ def test_ann_ivf_query_recall_clustered(ray_session, tmp_path):
     e = set(exact.column("vec_id").to_pylist())
     a = set(approx.column("vec_id").to_pylist())
     assert len(e & a) >= 9
+
+
+def test_ann_indexed_equals_streamed_ivf(ray_session):
+    """The persisted-index path probes the same cells with the same
+    centroids as the streamed q_ann_ivf — result sets must be identical."""
+    from anycrawl_ray.queries import q_ann_indexed, q_ann_ivf
+
+    sf = "/root/testdata/sf0.01"
+    a = q_ann_ivf(sf)
+    b = q_ann_indexed(sf)
+    assert a.column("vec_id").to_pylist() == b.column("vec_id").to_pylist()
+    assert a.column("cos").to_pylist() == b.column("cos").to_pylist()

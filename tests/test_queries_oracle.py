@@ -142,6 +142,7 @@ def test_sql_checked(registry, duck, name):
 
 ROWS_ONLY = [
     "pagerank",
+    "ann_indexed",
     "crawl_bfs", "crawl_spans",
     "media_features", "serp_parse",
     "monitor_diff", "search_scrape", "ann_ivf",
