@@ -81,6 +81,72 @@ def kmeans_lite(
     return centroids
 
 
+def kmeans_distributed(
+    ds, init: np.ndarray, *, iters: int = 3, batch_size: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full-data Lloyd's k-means as repeated broadcast + streaming partial
+    sufficient statistics — the scalable shape (MacQueen 1967 / Lloyd 1982,
+    both public): each pass broadcasts the (k, d) centroid matrix once
+    (``ray.put``), every ``map_batches`` task computes assignments for ITS
+    batch vectorized and emits only a (k, d+1) partial (per-cell sum +
+    count); the driver folds the tiny partials and updates. No shuffle, no
+    full-table materialization — per-pass traffic is O(k*d*n_batches)
+    regardless of n. Empty cells keep their previous centroid.
+
+    Assignment is argmin of true squared L2 (not the dot-trick expansion)
+    so ties and float behavior match a closed-form SQL re-derivation;
+    ties break to the lowest cell id.
+
+    Returns (centroids after ``iters`` updates, final member counts under
+    one last assignment pass against those centroids).
+    """
+    import ray
+
+    k, d = init.shape
+    cents = init.astype(np.float64).copy()
+
+    def make_partial(bcast, with_sums: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(bcast)
+            mat = embedding_matrix(t)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d2, axis=1)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            cols = {"cell": pa.array(np.arange(k), pa.int64()),
+                    "n": pa.array(counts, pa.int64())}
+            if with_sums:
+                sums = np.zeros((k, d), dtype=np.float64)
+                np.add.at(sums, a, mat)
+                cols["s"] = pa.array(sums.tolist(), pa.list_(pa.float64()))
+            return pa.table(cols)
+        return partial
+
+    for _ in range(iters):
+        bcast = ray.put(cents)
+        parts = ds.map_batches(
+            make_partial(bcast, with_sums=True), batch_format="pyarrow",
+            batch_size=batch_size,
+        ).take_all()
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts:
+            cell = int(row["cell"])
+            counts[cell] += row["n"]
+            sums[cell] += np.asarray(row["s"], dtype=np.float64)
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    bcast = ray.put(cents)
+    parts = ds.map_batches(
+        make_partial(bcast, with_sums=False), batch_format="pyarrow",
+        batch_size=batch_size,
+    ).take_all()
+    final = np.zeros(k, dtype=np.int64)
+    for row in parts:
+        final[int(row["cell"])] += row["n"]
+    return cents, final
+
+
 def write_ivf_index(
     emb_ds, index_dir: str, *, n_cells: int = 8, fit_sample: "pa.Table" = None,
     seed: int = 17,

@@ -2553,6 +2553,82 @@ def q_ann_indexed(sf_dir: str):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embedding corpus (k=8, 3 Lloyd updates
+    + final assignment): per-pass broadcast of the (k,d) centroids and
+    streaming per-batch sufficient statistics — tiny (k, d+1) partials are
+    all that leaves a task, so the pass cost is O(read) at any corpus size.
+    Deterministic init (the k lowest vec_ids), ties to the lowest cell.
+    Output is the flattened centroid matrix (cell, i, x) + final member
+    counts — fully re-derived by the DuckDB oracle as chained
+    assign/update CTEs."""
+    from .functions.ann import embedding_matrix, kmeans_distributed
+
+    k = 8
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = _collect(ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), k)),
+        batch_format="pyarrow"))
+    seed_rows = seed_rows.sort_by("vec_id")
+    init = embedding_matrix(seed_rows)
+    cents, counts = kmeans_distributed(ds, init, iters=3)
+    d = cents.shape[1]
+    cell_col, i_col, x_col, n_col = [], [], [], []
+    for c in range(k):
+        for i in range(d):
+            cell_col.append(c)
+            i_col.append(i + 1)
+            x_col.append(cents[c, i])
+            n_col.append(int(counts[c]))
+    return pa.table(
+        {"cell": pa.array(cell_col, pa.int64()),
+         "i": pa.array(i_col, pa.int64()),
+         "x": pa.array(_round6_half_away(x_col), pa.float64()),
+         "n_members": pa.array(n_col, pa.int64())}
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    """Closed-form SQL re-derivation of q_kmeans_embeddings: each Lloyd
+    iteration is an assign CTE (ROW_NUMBER over list_distance, ties to the
+    lowest cell) + a per-(cell, dim) AVG + a list rebuild, with empty cells
+    inheriting the previous centroid via COALESCE."""
+    parts = [
+        f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.c), c.cell) AS rn
+    FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
+        parts.append(f"""m{t} AS (
+  SELECT cell, r.i, AVG(v[CAST(r.i AS INT)]) AS x
+  FROM a{t} CROSS JOIN range(1, {d + 1}) r(i) GROUP BY cell, r.i)""")
+        parts.append(
+            f"c{t}raw AS (SELECT cell, list(x ORDER BY i) AS c "
+            f"FROM m{t} GROUP BY cell)")
+        parts.append(f"""c{t} AS (SELECT p.cell, COALESCE(r.c, p.c) AS c
+  FROM c{t - 1} p LEFT JOIN c{t}raw r USING (cell))""")
+    parts.append(f"""af AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.c), c.cell) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    parts.append(
+        "cnt AS (SELECT cell, COUNT(*)::BIGINT AS n_members FROM af "
+        "GROUP BY cell)")
+    return ",\n".join(parts) + f"""
+SELECT c.cell, r.i, ROUND(c.c[CAST(r.i AS INT)], 6) AS x,
+       COALESCE(cnt.n_members, 0)::BIGINT AS n_members
+FROM c{iters} c CROSS JOIN range(1, {d + 1}) r(i) LEFT JOIN cnt USING (cell)
+ORDER BY cell, i"""
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -2734,6 +2810,7 @@ def build_queries() -> dict[str, Callable]:
         "pagerank": q_pagerank,
         "minhash_incremental": q_minhash_incremental,
         "ann_indexed": q_ann_indexed,
+        "kmeans_embeddings": q_kmeans_embeddings,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3476,6 +3553,7 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
         """,
+        "kmeans_embeddings": _kmeans_oracle_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,

@@ -192,7 +192,7 @@ def bench_queries() -> dict[str, float]:
         "tfidf_topk", "unigram_logprob", "group_quantiles", "rolling_events",
         "stratified_sample", "resumable_write", "approx_distinct",
         "heavy_hitters", "bloom_semijoin", "token_count_bpe", "pagerank",
-        "minhash_incremental", "ann_indexed",
+        "minhash_incremental", "ann_indexed", "kmeans_embeddings",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

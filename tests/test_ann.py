@@ -119,3 +119,33 @@ def test_ann_indexed_equals_streamed_ivf(ray_session):
     b = q_ann_indexed(sf)
     assert a.column("vec_id").to_pylist() == b.column("vec_id").to_pylist()
     assert a.column("cos").to_pylist() == b.column("cos").to_pylist()
+
+
+def test_kmeans_distributed_matches_dense_numpy(ray_session):
+    """Streaming sufficient-statistics Lloyd == dense in-memory Lloyd."""
+    import pyarrow.parquet as pq
+    from anycrawl_ray.functions.ann import embedding_matrix, kmeans_distributed
+    from anycrawl_ray.queries import _read
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = embedding_matrix(t)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    k = 8
+    cents = mat[ids < k].copy()
+    for _ in range(3):
+        a = np.argmin(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = mat[m].mean(axis=0)
+    a = np.argmin(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+    counts = np.bincount(a, minlength=k)
+
+    ds = _read(sf, "embeddings", ["vec_id", "embedding"])
+    init = mat[ids < k].copy()
+    got_c, got_n = kmeans_distributed(ds, init, iters=3, batch_size=128)
+    assert np.allclose(got_c, cents, atol=1e-9)
+    assert got_n.tolist() == counts.tolist()

@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "bloom_semijoin",
     "token_count_bpe",
     "minhash_incremental",
+    "kmeans_embeddings",
 ]
 
 
