@@ -129,6 +129,9 @@ SQL_CHECKED = [
     "token_count_bpe",
     "minhash_incremental",
     "kmeans_embeddings",
+    "pii_scrub",
+    "credits_charges",
+    "train_split",
 ]
 
 
@@ -144,6 +147,7 @@ def test_sql_checked(registry, duck, name):
 ROWS_ONLY = [
     "pagerank",
     "ann_indexed",
+    "doc_clusters",
     "crawl_bfs", "crawl_spans",
     "media_features", "serp_parse",
     "monitor_diff", "search_scrape", "ann_ivf",
