@@ -2629,6 +2629,91 @@ FROM c{iters} c CROSS JOIN range(1, {d + 1}) r(i) LEFT JOIN cnt USING (cell)
 ORDER BY cell, i"""
 
 
+def q_bigjoin_priority(sf_dir: str):
+    """Big-big JOIN where NEITHER side broadcasts (TPC-H Q12 shape over the
+    columns this corpus has): lineitem x orders on orderkey, priority-class
+    line counts per returnflag. At 100 TB both tables are huge, so the
+    broadcast-chain trick (q_revenue_topk) is out — this is the reduce-side
+    co-partitioned hash join: each side tags its rows with the SAME
+    hash(key) % n_parts, lineitem pre-reduces per (orderkey, returnflag)
+    inside map_batches (combiner — the shuffle carries counts, not lines),
+    both sides union into ONE groupby("part") shuffle, and each partition
+    joins + partially aggregates with a vectorized polars kernel. The
+    driver folds <= n_parts * |flags| * 2 partial rows."""
+    import polars as pl
+
+    n_parts = 32
+    lo_ts = np.datetime64("1996-01-01", "us")
+    hi_ts = np.datetime64("1998-01-01", "us")
+    _HIGH = ("1-URGENT", "2-HIGH")
+
+    def part_of(keys: np.ndarray) -> np.ndarray:
+        h = pl.Series(keys).hash(seed=4242)
+        return (h.to_numpy() % np.uint64(n_parts)).astype(np.int32)
+
+    def l_side(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(ship, pa.scalar(lo_ts)),
+                       pc.less(ship, pa.scalar(hi_ts)))
+        t = t.filter(mask)
+        g = t.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+            [("l_orderkey", "count")])
+        keys = g.column("l_orderkey").to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "tag": g.column("l_returnflag"),
+             "n": pc.cast(g.column("l_orderkey_count"), pa.int64())}
+        )
+
+    def o_side(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy()
+        cls = pc.if_else(
+            pc.is_in(t.column("o_orderpriority"),
+                     value_set=pa.array(_HIGH)),
+            pa.scalar("H"), pa.scalar("L"))
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "tag": pc.cast(cls, pa.string()),
+             "n": pa.array(np.ones(len(keys), np.int64), pa.int64())}
+        )
+
+    l_pre = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+        l_side, batch_format="pyarrow")
+    o_pre = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority"]).map_batches(
+        o_side, batch_format="pyarrow")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        lhs = df.filter(pl.col("side") == 0).select(
+            pl.col("key"), pl.col("tag").alias("l_returnflag"), pl.col("n"))
+        rhs = df.filter(pl.col("side") == 1).select(
+            pl.col("key"), pl.col("tag").alias("cls"))
+        j = lhs.join(rhs, on="key", how="inner")
+        out = j.group_by(["l_returnflag", "cls"]).agg(
+            pl.col("n").sum().alias("n"))
+        return out.to_arrow()
+
+    partials = _collect(
+        l_pre.union(o_pre).groupby("part").map_groups(
+            kernel, batch_format="pyarrow"))
+    flags = sorted(set(partials.column("l_returnflag").to_pylist()))
+    hi: dict[str, int] = {f: 0 for f in flags}
+    lo: dict[str, int] = {f: 0 for f in flags}
+    for row in partials.to_pylist():
+        (hi if row["cls"] == "H" else lo)[row["l_returnflag"]] += row["n"]
+    return pa.table(
+        {"l_returnflag": pa.array(flags, pa.string()),
+         "high_line_count": pa.array([hi[f] for f in flags], pa.int64()),
+         "low_line_count": pa.array([lo[f] for f in flags], pa.int64())}
+    )
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -2811,6 +2896,7 @@ def build_queries() -> dict[str, Callable]:
         "minhash_incremental": q_minhash_incremental,
         "ann_indexed": q_ann_indexed,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "bigjoin_priority": q_bigjoin_priority,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3554,6 +3640,17 @@ def build_oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "bigjoin_priority": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "token_count_bpe": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,

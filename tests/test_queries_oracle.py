@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "token_count_bpe",
     "minhash_incremental",
     "kmeans_embeddings",
+    "bigjoin_priority",
     "pii_scrub",
     "credits_charges",
     "train_split",
