@@ -2714,6 +2714,58 @@ def q_bigjoin_priority(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str, n_target: int = 200):
+    """Temperature-weighted mixture sampling across sources — the data-mixing
+    staple (sampling weights proportional to count^alpha, alpha=0.5, as in
+    public multi-corpus LM training recipes). Deterministic end to end so a
+    SQL oracle can re-derive it:
+
+    - per-source quotas by INTEGER largest-remainder apportionment over
+      w_s = floor(sqrt(c_s)) (all-integer arithmetic — no float weight can
+      flip a seat between the Ray and SQL sides),
+    - within-source selection by splitmix64(doc_id) hash order (the shared
+      closed-form hash, ties by doc_id) — a hash-ordered reservoir, so the
+      sample is stable under corpus growth: a source's first q picks never
+      change when new docs hash later in its order.
+
+    Two streaming passes: a tiny count aggregate, then ONE co-partitioned
+    shuffle on source with a vectorized rank/filter kernel. Quotas (<=
+    n_sources rows) ride in the kernel closure."""
+    import polars as pl
+
+    from .functions.sketch import splitmix64
+
+    counts_t = _collect(
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source").aggregate(Count(alias_name="c")))
+    c = {r["source"]: int(r["c"]) for r in counts_t.to_pylist()}
+    w = {s: int(np.sqrt(n)) for s, n in c.items()}
+    tw = sum(w.values())
+    base = {s: n_target * w[s] // tw for s in w}
+    frac = {s: n_target * w[s] % tw for s in w}
+    rem = n_target - sum(base.values())
+    for s in sorted(w, key=lambda s: (-frac[s], s))[:rem]:
+        base[s] += 1
+    quotas = base
+
+    def kernel(df: pl.DataFrame) -> pl.DataFrame:
+        hk = splitmix64(df["doc_id"].to_numpy().astype(np.uint64))
+        df = df.with_columns(pl.Series("hk", hk))
+        df = df.with_columns(
+            pl.struct(["hk", "doc_id"]).rank("ordinal").over("source")
+            .alias("rnk"))
+        qdf = pl.DataFrame(
+            {"source": list(quotas),
+             "q": pl.Series([quotas[s] for s in quotas], dtype=pl.UInt32)})
+        return (df.join(qdf, on="source")
+                .filter(pl.col("rnk") <= pl.col("q"))
+                .select(["doc_id", "source"]))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return _collect(_co_partitioned(ds, "source", kernel, n_parts=8)) \
+        .sort_by("doc_id")
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -2897,6 +2949,7 @@ def build_queries() -> dict[str, Callable]:
         "ann_indexed": q_ann_indexed,
         "kmeans_embeddings": q_kmeans_embeddings,
         "bigjoin_priority": q_bigjoin_priority,
+        "mixture_sample": q_mixture_sample,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3640,6 +3693,38 @@ def build_oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        # mixture_sample: integer largest-remainder quotas over
+        # w=floor(sqrt(count)) (sqrt of a BIGINT-exact integer is correctly
+        # rounded in IEEE double, so FLOOR is exact), selection rank by the
+        # shared splitmix64 over doc_id. 200 = the entry's n_target.
+        "mixture_sample": f"""
+            WITH cnt AS (SELECT source, COUNT(*)::BIGINT AS c
+                         FROM documents GROUP BY source),
+            w AS (SELECT source, c, CAST(FLOOR(SQRT(c)) AS BIGINT) AS w
+                  FROM cnt),
+            tot AS (SELECT SUM(w)::BIGINT AS tw FROM w),
+            base AS (SELECT source, c, w, (200 * w) // tw AS q0,
+                            (200 * w) % tw AS frac
+                     FROM w, tot),
+            ranked AS (SELECT *,
+                              ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+                                  AS rr,
+                              (SELECT 200 - SUM(q0) FROM base) AS rem
+                       FROM base),
+            quota AS (SELECT source,
+                             q0 + CASE WHEN rr <= rem THEN 1 ELSE 0 END AS q
+                      FROM ranked),
+            keyed AS (SELECT doc_id, source,
+                             {_sm("doc_id")} AS hk
+                      FROM documents),
+            sel AS (SELECT doc_id, source,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY hk, doc_id) AS rnk
+                    FROM keyed)
+            SELECT s.doc_id, s.source
+            FROM sel s JOIN quota USING (source)
+            WHERE s.rnk <= quota.q ORDER BY s.doc_id
+        """,
         "bigjoin_priority": """
             SELECT l_returnflag,
                    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

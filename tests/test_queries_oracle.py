@@ -130,6 +130,7 @@ SQL_CHECKED = [
     "minhash_incremental",
     "kmeans_embeddings",
     "bigjoin_priority",
+    "mixture_sample",
     "pii_scrub",
     "credits_charges",
     "train_split",
