@@ -2766,6 +2766,127 @@ def q_mixture_sample(sf_dir: str, n_target: int = 200):
         .sort_by("doc_id")
 
 
+def q_global_quantiles(sf_dir: str, **kw):
+    """EXACT global order statistics (p50/p90/p99 of events.value) WITHOUT a
+    global sort — distributed selection by histogram refinement (public
+    classic; cf. Blum et al. selection and the map-reduce histogram-select
+    folklore): pass 1 streams (count, min, max); pass 2 streams one
+    2048-bucket histogram per target and narrows each target's interval to
+    the bucket holding its rank (count-below bookkeeping is exact integer);
+    repeat while an interval holds > 64k rows (never at these sizes, ~2
+    rounds at 10^12 rows); final pass collects ONLY the narrowed intervals'
+    values (expected n/B per target) and picks the exact rank element. Every
+    pass is a streaming map_batches + tiny driver fold; the returned values
+    are raw data elements, so the oracle match is exact (no float rounding).
+    Rank: k = ceil(q*n), 1-based over ascending order.
+
+    ``n_buckets``/``cap`` are exposed so tests can force multiple
+    refinement rounds on small corpora (sf0.01 fits under the default cap
+    and would otherwise go straight to the collect pass)."""
+    n_buckets = kw.get("n_buckets", 2048)
+    cap = kw.get("cap", 65536)
+    qs = (0.5, 0.9, 0.99)
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def stats_fn(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())], pa.float64()),
+                         "hi": pa.array([float(v.max())], pa.float64())})
+
+    st = _collect(ds.map_batches(stats_fn, batch_format="pyarrow"))
+    n = int(pc.sum(st.column("n")).as_py())
+    glo = float(pc.min(st.column("lo")).as_py())
+    ghi = float(pc.max(st.column("hi")).as_py())
+
+    targets = {q: {"k": int(np.ceil(q * n)), "lo": glo, "hi": ghi,
+                   "count": n} for q in qs}
+
+    def bucket_idx(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        scale = (hi - lo) or 1.0
+        return np.clip(((v - lo) / scale * n_buckets).astype(np.int64),
+                       0, n_buckets - 1)
+
+    # Float hygiene: `below` is RECOMPUTED exactly (count of v < lo on raw
+    # comparisons) every pass rather than accumulated from bucket indices,
+    # and the narrowed interval keeps a one-bucket margin on each side, so
+    # bucket-edge rounding can never place the target element outside the
+    # interval or double-count it against `below`.
+    rounds = 0
+    # max-rounds guard: an interval dominated by ONE duplicated value stops
+    # shrinking (its bucket never splits); after 4 rounds fall through to
+    # the collect pass — for a duplicate-heavy interval the k-th element is
+    # that duplicate anyway, and 2048^4 resolution bounds the honest case.
+    while rounds < 4 and any(t["count"] > cap for t in targets.values()):
+        rounds += 1
+        active = [q for q in qs if targets[q]["count"] > cap]
+        spec = {q: (targets[q]["lo"], targets[q]["hi"]) for q in active}
+
+        def hist_fn(t: pa.Table, spec=spec) -> pa.Table:
+            v = t.column("value").to_numpy()
+            rows_q, rows_b, rows_h = [], [], []
+            for q, (lo, hi) in spec.items():
+                m = (v >= lo) & (v <= hi)
+                h = np.bincount(bucket_idx(v[m], lo, hi),
+                                minlength=n_buckets)
+                rows_q.append(q)
+                rows_b.append(int((v < lo).sum()))
+                rows_h.append(h.astype(np.int64).tolist())
+            return pa.table({"q": pa.array(rows_q, pa.float64()),
+                             "b": pa.array(rows_b, pa.int64()),
+                             "h": pa.array(rows_h, pa.list_(pa.int64()))})
+
+        ht = _collect(ds.map_batches(hist_fn, batch_format="pyarrow"))
+        for q in active:
+            tq = targets[q]
+            hsum = np.zeros(n_buckets, dtype=np.int64)
+            below = 0
+            for row in ht.to_pylist():
+                if row["q"] == q:
+                    below += row["b"]
+                    hsum += np.asarray(row["h"], dtype=np.int64)
+            cum = np.cumsum(hsum)
+            j = int(np.searchsorted(cum, tq["k"] - below))
+            lo, hi = tq["lo"], tq["hi"]
+            width = (hi - lo) or 1.0
+            j0, j1 = max(j - 1, 0), min(j + 1, n_buckets - 1)
+            tq["lo"] = lo + width * j0 / n_buckets
+            tq["hi"] = hi if j1 == n_buckets - 1 \
+                else lo + width * (j1 + 1) / n_buckets
+            tq["count"] = int(hsum[j0:j1 + 1].sum())
+
+    spec = {q: (targets[q]["lo"], targets[q]["hi"]) for q in qs}
+
+    def collect_fn(t: pa.Table, spec=spec) -> pa.Table:
+        v = t.column("value").to_numpy()
+        rows_q, rows_b, rows_v = [], [], []
+        for q, (lo, hi) in spec.items():
+            inside = v[(v >= lo) & (v <= hi)]
+            rows_q.append(q)
+            rows_b.append(int((v < lo).sum()))
+            rows_v.append([float(x) for x in inside])
+        return pa.table({"q": pa.array(rows_q, pa.float64()),
+                         "b": pa.array(rows_b, pa.int64()),
+                         "v": pa.array(rows_v, pa.list_(pa.float64()))})
+
+    vt = _collect(ds.map_batches(collect_fn, batch_format="pyarrow"))
+    out_q, out_k, out_v = [], [], []
+    for q in qs:
+        sub = vt.filter(pc.equal(vt.column("q"), q))
+        below = int(pc.sum(sub.column("b")).as_py())
+        vals = np.sort(np.concatenate(
+            [np.asarray(x, dtype=np.float64)
+             for x in sub.column("v").to_pylist()] or [np.array([])]))
+        k = targets[q]["k"]
+        out_q.append(q)
+        out_k.append(k)
+        out_v.append(float(vals[k - below - 1]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "k": pa.array(out_k, pa.int64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -2950,6 +3071,7 @@ def build_queries() -> dict[str, Callable]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "bigjoin_priority": q_bigjoin_priority,
         "mixture_sample": q_mixture_sample,
+        "global_quantiles": q_global_quantiles,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3693,6 +3815,19 @@ def build_oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        # global_quantiles: the Ray side selects by histogram refinement;
+        # the oracle just sorts. Returned values are raw data elements, so
+        # the match is exact — no rounding.
+        "global_quantiles": """
+            WITH n AS (SELECT COUNT(*)::BIGINT AS c FROM events),
+            qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+            t AS (SELECT q, CAST(CEIL(q * c) AS BIGINT) AS k FROM qs, n),
+            r AS (SELECT value,
+                         ROW_NUMBER() OVER (ORDER BY value) AS rn
+                  FROM events)
+            SELECT t.q, t.k, r.value
+            FROM t JOIN r ON r.rn = t.k ORDER BY t.q
+        """,
         # mixture_sample: integer largest-remainder quotas over
         # w=floor(sqrt(count)) (sqrt of a BIGINT-exact integer is correctly
         # rounded in IEEE double, so FLOOR is exact), selection rank by the

@@ -80,3 +80,23 @@ def test_stratified_sample_deterministic_and_rated(ray_session):
     frac_en = (a["lang"] == "en").sum() / (full["lang"] == "en").sum()
     frac_zh = (a["lang"] == "zh").sum() / (full["lang"] == "zh").sum()
     assert frac_en > frac_zh
+
+
+def test_global_quantiles_forced_refinement(ray_session):
+    """Tiny cap forces multiple histogram-refinement rounds (sf0.01 fits
+    under the default cap and would skip the loop entirely); result must
+    equal the straight numpy order statistic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.queries import q_global_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    got = q_global_quantiles(sf, n_buckets=16, cap=50)
+    vals = np.sort(pq.read_table(
+        f"{sf}/events.parquet", columns=["value"]).column("value").to_numpy())
+    n = len(vals)
+    for row in got.to_pylist():
+        k = int(np.ceil(row["q"] * n))
+        assert row["k"] == k
+        assert row["value"] == vals[k - 1], row

@@ -131,6 +131,7 @@ SQL_CHECKED = [
     "kmeans_embeddings",
     "bigjoin_priority",
     "mixture_sample",
+    "global_quantiles",
     "pii_scrub",
     "credits_charges",
     "train_split",
