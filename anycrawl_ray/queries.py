@@ -1216,6 +1216,7 @@ def q_minhash_incremental(sf_dir: str):
     CANDIDATE ids — at 100 TB the index (~28 B/row) is all that persists
     between ingests. Oracle: the full-recompute SQL filtered to
     new-touching pairs (exactness of the incremental path is the claim)."""
+    import shutil
     import tempfile
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1223,8 +1224,11 @@ def q_minhash_incremental(sf_dir: str):
     new = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
         expr=f"doc_id >= {_INCR_SPLIT}")
     idx_dir = tempfile.mkdtemp(prefix="anycrawl_mh_index_")
-    write_minhash_index(old, idx_dir)
-    return minhash_dedup_incremental(new, idx_dir, docs)
+    try:
+        write_minhash_index(old, idx_dir)
+        return minhash_dedup_incremental(new, idx_dir, docs)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -2536,16 +2540,22 @@ def q_ann_indexed(sf_dir: str):
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     sample = pq.ParquetFile(emb_path).read_row_group(
         0, columns=["vec_id", "embedding"]).slice(0, 2048)
-    idx_dir = tempfile.mkdtemp(prefix="anycrawl_ivf_")
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    write_ivf_index(ds, idx_dir, n_cells=8, fit_sample=sample)
+    import shutil
 
-    q0 = sample.filter(pc.equal(sample.column("vec_id"), 0))
-    if q0.num_rows == 0:
-        full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        q0 = full.filter(pc.equal(full.column("vec_id"), 0))
-    query = np.asarray(q0.column("embedding")[0].as_py(), dtype=np.float64)
-    rows = ann_ivf_indexed(idx_dir, query, k=10, nprobe=6)
+    idx_dir = tempfile.mkdtemp(prefix="anycrawl_ivf_")
+    try:
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        write_ivf_index(ds, idx_dir, n_cells=8, fit_sample=sample)
+
+        q0 = sample.filter(pc.equal(sample.column("vec_id"), 0))
+        if q0.num_rows == 0:
+            full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+            q0 = full.filter(pc.equal(full.column("vec_id"), 0))
+        query = np.asarray(q0.column("embedding")[0].as_py(),
+                           dtype=np.float64)
+        rows = ann_ivf_indexed(idx_dir, query, k=10, nprobe=6)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     return pa.table(
         {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
          "cos": pa.array(_round6_half_away([r[1] for r in rows]),
