@@ -224,6 +224,83 @@ def ann_ivf_indexed(
     return merger.result()
 
 
+def fit_pq(sample: np.ndarray, *, m: int = 8, n_codes: int = 32,
+           iters: int = 5, seed: int = 17) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, public): split the
+    d dims into m subspaces and k-means each on a bounded sample. Returns
+    (m, n_codes, d//m) float64. Deterministic (kmeans_lite seeding)."""
+    n, d = sample.shape
+    assert d % m == 0, "dims must divide into subspaces"
+    sub = d // m
+    return np.stack([
+        kmeans_lite(sample[:, j * sub:(j + 1) * sub], n_codes,
+                    iters=iters, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode_fn(codebooks_ref, col: str = "embedding"):
+    """map_batches fn: vectors -> (vec_id, norm, code_0..code_{m-1} uint8).
+    8 bytes/vector at m=8 — the 100-TB memory story: the ADC scan touches
+    codes + one float norm, never the float matrix. Codebooks ride broadcast
+    (ray.put once)."""
+    import ray
+
+    def encode(t: pa.Table) -> pa.Table:
+        cb = ray.get(codebooks_ref)  # (m, n_codes, sub)
+        m, n_codes, sub = cb.shape
+        mat = embedding_matrix(t, col)
+        norms = np.linalg.norm(mat, axis=1)
+        cols = {"vec_id": t.column("vec_id"),
+                "norm": pa.array(norms, pa.float64())}
+        for j in range(m):
+            v = mat[:, j * sub:(j + 1) * sub]
+            # |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 constant per row
+            d2 = -2.0 * (v @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+            cols[f"code_{j}"] = pa.array(
+                np.argmin(d2, axis=1).astype(np.uint8), pa.uint8())
+        return pa.table(cols)
+
+    return encode
+
+
+def pq_adc_topk(encoded_ds, codebooks: np.ndarray, query: np.ndarray,
+                *, k: int = 10, n_candidates: int = 100) -> np.ndarray:
+    """Asymmetric-distance top candidates over the encoded dataset: the
+    query builds one (m, n_codes) inner-product table; every batch scores
+    its rows with m uint8 gathers + adds (no float matrix), keeps a local
+    top; the driver merges. Returns candidate vec_ids for exact re-rank."""
+    import ray
+
+    m, n_codes, sub = codebooks.shape
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    table = np.stack([codebooks[j] @ qn[j * sub:(j + 1) * sub]
+                      for j in range(m)])  # (m, n_codes)
+    bcast = ray.put(table)
+
+    def score(t: pa.Table) -> pa.Table:
+        tab = ray.get(bcast)
+        ids = t.column("vec_id").to_numpy()
+        norms = t.column("norm").to_numpy()
+        ip = np.zeros(len(ids), dtype=np.float64)
+        for j in range(tab.shape[0]):
+            ip += tab[j][t.column(f"code_{j}").to_numpy()]
+        cos = ip / np.maximum(norms, 1e-12)
+        kk = min(n_candidates, len(cos))
+        idx = np.argpartition(-cos, kk - 1)[:kk] if len(cos) > kk \
+            else np.arange(len(cos))
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "cos_approx": pa.array(cos[idx], pa.float64())})
+
+    import ray.data  # noqa: F401
+    parts = encoded_ds.map_batches(score, batch_format="pyarrow",
+                                   batch_size=8192).take_all()
+    ids = np.asarray([r["vec_id"] for r in parts], dtype=np.int64)
+    sc = np.asarray([r["cos_approx"] for r in parts], dtype=np.float64)
+    order = np.lexsort((ids, -sc))[:n_candidates]
+    return ids[order]
+
+
 class IVFIndex:
     """Inverted-file ANN: probe nprobe nearest cells only."""
 

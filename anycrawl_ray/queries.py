@@ -2563,6 +2563,61 @@ def q_ann_indexed(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantized ANN (Jégou et al. 2011) — the MEMORY scale path of
+    the similarity family: vectors compress to m=8 uint8 codes + one norm
+    (9 bytes vs 256 for float32x64), the ADC scan streams over codes only
+    (m table-gathers + adds per row, no float matrix), and the top-100
+    approximate candidates get an EXACT cosine re-rank reading only their
+    true embeddings (is_in pushdown). Output cosines are exact; the row SET
+    is approximate => rows-only, recall vs the exact top-10 gated in
+    tests/test_ann.py."""
+    from .functions.ann import (TopKMerger, embedding_matrix, fit_pq,
+                                pq_adc_topk, pq_encode_fn)
+    from .functions.dedup import l2_normalize
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = pq.ParquetFile(emb_path).read_row_group(
+        0, columns=["vec_id", "embedding"]).slice(0, 2048)
+    cb = fit_pq(embedding_matrix(sample), m=8, n_codes=64)
+
+    q0 = sample.filter(pc.equal(sample.column("vec_id"), 0))
+    if q0.num_rows == 0:
+        full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        q0 = full.filter(pc.equal(full.column("vec_id"), 0))
+    query = np.asarray(q0.column("embedding")[0].as_py(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    encoded = ds.map_batches(pq_encode_fn(ray.put(cb)),
+                             batch_format="pyarrow", batch_size=4096)
+    cand = pq_adc_topk(encoded, cb, query, k=10, n_candidates=200)
+
+    cand_set = pa.array(cand.tolist(), pa.int64())
+    qn = query / max(np.linalg.norm(query), 1e-12)
+
+    def rerank(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("vec_id"), value_set=cand_set))
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = l2_normalize(embedding_matrix(t))
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cos": pa.array(mat @ qn, pa.float64())})
+
+    parts = _collect(_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                     .map_batches(rerank, batch_format="pyarrow",
+                                  batch_size=4096))
+    merger = TopKMerger(10)
+    merger.offer(parts.column("vec_id").to_numpy(),
+                 parts.column("cos").to_numpy())
+    rows = merger.result()
+    return pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "cos": pa.array(_round6_half_away([r[1] for r in rows]),
+                         pa.float64())}
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means over the embedding corpus (k=8, 3 Lloyd updates
     + final assignment): per-pass broadcast of the (k,d) centroids and
@@ -3082,6 +3137,7 @@ def build_queries() -> dict[str, Callable]:
         "bigjoin_priority": q_bigjoin_priority,
         "mixture_sample": q_mixture_sample,
         "global_quantiles": q_global_quantiles,
+        "ann_pq": q_ann_pq,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,

@@ -193,7 +193,7 @@ def bench_queries() -> dict[str, float]:
         "stratified_sample", "resumable_write", "approx_distinct",
         "heavy_hitters", "bloom_semijoin", "token_count_bpe", "pagerank",
         "minhash_incremental", "ann_indexed", "kmeans_embeddings",
-        "bigjoin_priority", "mixture_sample", "global_quantiles",
+        "bigjoin_priority", "mixture_sample", "global_quantiles", "ann_pq",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

@@ -149,3 +149,24 @@ def test_kmeans_distributed_matches_dense_numpy(ray_session):
     got_c, got_n = kmeans_distributed(ds, init, iters=3, batch_size=128)
     assert np.allclose(got_c, cents, atol=1e-9)
     assert got_n.tolist() == counts.tolist()
+
+
+def test_ann_pq_recall_vs_exact(ray_session):
+    """PQ+ADC+exact-rerank top-10 must recover >= 9 of the exact top-10
+    (rerank makes surviving candidates exact, so only candidate-set misses
+    can cost recall)."""
+    from anycrawl_ray.queries import q_ann_cosine, q_ann_pq
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_ann_cosine(sf)
+    approx = q_ann_pq(sf)
+    e = set(exact.column("vec_id").to_pylist())
+    a = set(approx.column("vec_id").to_pylist())
+    assert len(e & a) >= 9, (sorted(e), sorted(a))
+    # surviving overlap rows carry EXACT cosines — values must agree
+    em = dict(zip(exact.column("vec_id").to_pylist(),
+                  exact.column("cos").to_pylist()))
+    for vid, cos in zip(approx.column("vec_id").to_pylist(),
+                        approx.column("cos").to_pylist()):
+        if vid in em:
+            assert abs(em[vid] - cos) < 1e-9

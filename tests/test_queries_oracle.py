@@ -150,6 +150,7 @@ def test_sql_checked(registry, duck, name):
 ROWS_ONLY = [
     "pagerank",
     "ann_indexed",
+    "ann_pq",
     "doc_clusters",
     "crawl_bfs", "crawl_spans",
     "media_features", "serp_parse",
