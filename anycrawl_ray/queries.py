@@ -2618,6 +2618,68 @@ def q_ann_pq(sf_dir: str):
     )
 
 
+def q_corpus_build(sf_dir: str):
+    """The composed training-corpus build — every stage a prior
+    oracle-green operator, chained as ONE pipeline with nothing driver-side
+    but output-sized artifacts:
+
+      1. fused quality gate (ONE streaming map_batches: vectorized langID +
+         quality score, keep lang='en' AND quality >= 0.6 — corpus_funnel's
+         kernels),
+      2. exact dedup keeping the lowest doc_id per text (ONE co-partitioned
+         shuffle on the text key; survivors stay DISTRIBUTED with their
+         text so stage 3 never re-reads the corpus),
+      3. MinHash+LSH near-dup pairs over the survivor set only (the full
+         minhash_dedup_dataset machinery — banding and bucket caps see the
+         filtered set, mirrored in the oracle via the shingle CTE's WHERE),
+      4. connected components over the pair graph (sharded
+         min-label-propagation actors); drop every non-representative
+         (component = min member id).
+
+    Pairs/components are output-sized (like q_dedup_keep_best), so the drop
+    set broadcasts. Output: surviving (doc_id, source). The oracle composes
+    the SAME four stages in SQL — filter CTE, GROUP-BY-text min, the pairs
+    block restricted to survivors, recursive transitive closure."""
+    import polars as pl
+
+    from .functions.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        lang = np.asarray(tx.language_id(texts))
+        qual = _round6_half_away(tx.quality_scores(texts))
+        mask = (lang == "en") & (qual >= _FUNNEL_QUALITY)
+        return t.filter(pa.array(mask))
+
+    filtered = ds.map_batches(quality_gate, batch_format="pyarrow",
+                              batch_size=2048)
+
+    def keep_min(df: pl.DataFrame) -> pl.DataFrame:
+        return (df.sort("doc_id")
+                .unique(subset=["text"], keep="first", maintain_order=True))
+
+    survivors = _co_partitioned(filtered, "text", keep_min, n_parts=32) \
+        .materialize()
+
+    pairs = minhash_dedup_dataset(survivors.select_columns(["doc_id", "text"]))
+    if pairs.num_rows:
+        comp = connected_components(pairs, n_shards=4)
+        drop = {int(r["node"]) for r in comp.to_pylist()
+                if r["node"] != r["component"]}
+    else:
+        drop = set()
+    drop_arr = pa.array(sorted(drop), pa.int64())
+
+    def drop_nonreps(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=drop_arr))
+        return t.filter(keep).select(["doc_id", "source"])
+
+    return _collect(survivors.map_batches(
+        drop_nonreps, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means over the embedding corpus (k=8, 3 Lloyd updates
     + final assignment): per-pass broadcast of the (k,d) centroids and
@@ -3138,6 +3200,7 @@ def build_queries() -> dict[str, Callable]:
         "mixture_sample": q_mixture_sample,
         "global_quantiles": q_global_quantiles,
         "ann_pq": q_ann_pq,
+        "corpus_build": q_corpus_build,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3173,7 +3236,7 @@ _FNV_P = "1099511628211"
 _WINNOW_POWS = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
 
 
-def _sql_minhash_pairs_block() -> str:
+def _sql_minhash_pairs_block(where: str = "") -> str:
     """CTE chain re-deriving the ENTIRE minhash LSH pipeline, ending in a
     ``pairs(a_id, b_id, jaccard)`` CTE: closed-form perm params (splitmix64
     counter streams, seed 99), signature min((a*h+b) mod 2^64 mod 2^61-1),
@@ -3185,7 +3248,7 @@ def _sql_minhash_pairs_block() -> str:
     from .functions import strhash as _SH
 
     _sm = _SH.sql_splitmix64
-    return f"""{_sql_shingle_cte()},
+    return f"""{_sql_shingle_cte(where)},
             perms AS (
                 SELECT j, ({_sm('198 + 2*j')} | 1) AS a, {_sm('199 + 2*j')} AS b
                 FROM (SELECT unnest(range(64)) AS j)
@@ -3879,6 +3942,37 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        # corpus_build: the composed four-stage pipeline — quality gate,
+        # exact dedup (min doc_id per text), minhash pairs RESTRICTED to
+        # the survivor set (the shingle CTE's WHERE — bucket caps must see
+        # the filtered corpus, exactly like the Ray side), transitive
+        # closure, drop non-representatives.
+        "corpus_build": f"""
+            WITH RECURSIVE filt AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE ({lang_case}) = 'en'
+                  AND {quality_expr} >= {_FUNNEL_QUALITY}
+            ),
+            ek AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY text),
+            {_sql_minhash_pairs_block(
+                "WHERE doc_id IN (SELECT doc_id FROM ek)")},
+            edges AS (
+                SELECT a_id AS a, b_id AS b FROM pairs
+                UNION SELECT b_id, a_id FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+                     FROM reach GROUP BY a)
+            SELECT f.doc_id, f.source
+            FROM filt f JOIN ek USING (doc_id)
+            WHERE f.doc_id NOT IN
+                  (SELECT node FROM comp WHERE node <> component)
+            ORDER BY f.doc_id
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
         # global_quantiles: the Ray side selects by histogram refinement;

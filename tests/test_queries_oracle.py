@@ -132,6 +132,7 @@ SQL_CHECKED = [
     "bigjoin_priority",
     "mixture_sample",
     "global_quantiles",
+    "corpus_build",
     "pii_scrub",
     "credits_charges",
     "train_split",
