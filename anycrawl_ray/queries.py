@@ -2680,6 +2680,85 @@ def q_corpus_build(sf_dir: str):
         drop_nonreps, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def q_knn_join(sf_dir: str):
+    """kNN similarity JOIN — a query SET (vec_id < 8) against the corpus in
+    ONE streaming pass: the (8, d) normalized query matrix broadcasts once,
+    every batch does a single (B, 8) matmul and keeps its local top-10 PER
+    QUERY; the driver merges 8 tiny partial lists. Ranking key on both
+    sides: (round6(cos) DESC, vec_id ASC) — rounding first collapses
+    cross-engine ulp noise at the rank-10 boundary."""
+    from .functions.ann import embedding_matrix
+    from .functions.dedup import l2_normalize
+
+    n_q, k = 8, 10
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), n_q)).sort_by("vec_id")
+    qn = l2_normalize(embedding_matrix(qt))
+    q_ids = qt.column("vec_id").to_numpy()
+    bcast = ray.put(qn)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qm = ray.get(bcast)
+        ids = t.column("vec_id").to_numpy()
+        sims = l2_normalize(embedding_matrix(t)) @ qm.T  # (B, n_q)
+        out_q, out_v, out_c = [], [], []
+        for j in range(qm.shape[0]):
+            c6 = _round6_half_away(sims[:, j])
+            order = np.lexsort((ids, -c6))[:k]
+            out_q.extend([j] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_c.extend(c6[order].tolist())
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=4096))
+    out_q, out_v, out_c = [], [], []
+    for j in range(len(q_ids)):
+        sub = parts.filter(pc.equal(parts.column("qj"), j))
+        ids = sub.column("vec_id").to_numpy()
+        cos = sub.column("cos").to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        out_q.extend([int(q_ids[j])] * len(order))
+        out_v.extend(ids[order].tolist())
+        out_c.extend(cos[order].tolist())
+    return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "cos": pa.array(out_c, pa.float64())}) \
+        .sort_by([("q_id", "ascending"), ("vec_id", "ascending")])
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """Tokenizer-training primitive: the exact top-20 adjacent token pairs
+    (one BPE merge-selection round) WITHOUT a pair-vocabulary shuffle —
+    each doc maps to its pair multiset (pairs joined with the SOH separator
+    chr(1); chr(31) would NOT work — Python str.split() treats \\x1c-\\x1f
+    as whitespace while regex \\s does not),
+    then the heavy-hitters path runs unchanged: Misra-Gries mergeable
+    candidates + broadcast exact recount, coverage guarantee checked at
+    runtime. Ties: count DESC, pair ASC."""
+    from .functions.heavyhitters import top_k_exact
+
+    SEP = "\x01"
+
+    def make_pairs(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        out = []
+        for s in texts:
+            toks = s.split()
+            out.append(" ".join(
+                toks[i] + SEP + toks[i + 1] for i in range(len(toks) - 1)))
+        return pa.table({"text": pa.array(out, pa.string())})
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        make_pairs, batch_format="pyarrow")
+    t = top_k_exact(ds, k=20, m=16384)
+    return t.rename_columns(["pair", "n"])
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means over the embedding corpus (k=8, 3 Lloyd updates
     + final assignment): per-pass broadcast of the (k,d) centroids and
@@ -3201,6 +3280,8 @@ def build_queries() -> dict[str, Callable]:
         "global_quantiles": q_global_quantiles,
         "ann_pq": q_ann_pq,
         "corpus_build": q_corpus_build,
+        "knn_join": q_knn_join,
+        "bpe_pair_counts": q_bpe_pair_counts,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3942,6 +4023,32 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        # knn_join: rank key is (round6(cos) DESC, vec_id) on BOTH sides so
+        # last-ulp cosine differences cannot flip the rank-10 boundary.
+        "knn_join": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 8),
+            s AS (SELECT q.q_id, n.vec_id,
+                         ROUND(list_cosine_similarity(n.v, q.qv), 6) AS cos,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY q.q_id
+                             ORDER BY ROUND(list_cosine_similarity(
+                                          n.v, q.qv), 6) DESC, n.vec_id)
+                             AS rn
+                  FROM n CROSS JOIN q)
+            SELECT q_id, vec_id, cos FROM s WHERE rn <= 10
+            ORDER BY q_id, vec_id
+        """,
+        "bpe_pair_counts": f"""
+            WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+            p AS (SELECT unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> toks[i] || chr(1) || toks[i + 1])) AS pair
+                  FROM t WHERE len(toks) > 1),
+            c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p GROUP BY pair)
+            SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20
         """,
         # corpus_build: the composed four-stage pipeline — quality gate,
         # exact dedup (min doc_id per text), minhash pairs RESTRICTED to

@@ -133,6 +133,8 @@ SQL_CHECKED = [
     "mixture_sample",
     "global_quantiles",
     "corpus_build",
+    "knn_join",
+    "bpe_pair_counts",
     "pii_scrub",
     "credits_charges",
     "train_split",
