@@ -3093,6 +3093,38 @@ def q_global_quantiles(sf_dir: str, **kw):
                      "value": pa.array(out_v, pa.float64())})
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix over the events stream (the monitoring
+    analytics staple): cohort(user) = first active day, cell (cohort_day,
+    offset_days) counts users active that many days after their first.
+    ONE co-partitioned shuffle on user_id — the kernel computes first-day,
+    distinct active days and PARTIAL (cohort, offset) counts inside each
+    partition, so the driver folds only days x offsets x parts tiny rows."""
+    import polars as pl
+
+    def kernel(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.with_columns(
+            pl.col("ts").dt.truncate("1d").cast(pl.Date).alias("day"))
+        ud = df.select(["user_id", "day"]).unique()
+        coh = ud.group_by("user_id").agg(
+            pl.col("day").min().alias("cohort_day"))
+        j = ud.join(coh, on="user_id").with_columns(
+            (pl.col("day") - pl.col("cohort_day"))
+            .dt.total_days().cast(pl.Int64).alias("offset_days"))
+        return (j.group_by(["cohort_day", "offset_days"])
+                .agg(pl.len().cast(pl.Int64).alias("n_part")))
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    parts = _collect(_co_partitioned(ds, "user_id", kernel, n_parts=16))
+    t = parts.group_by(["cohort_day", "offset_days"]).aggregate(
+        [("n_part", "sum")])
+    return pa.table(
+        {"cohort_day": t.column("cohort_day"),
+         "offset_days": t.column("offset_days"),
+         "n_users": pc.cast(t.column("n_part_sum"), pa.int64())}
+    ).sort_by([("cohort_day", "ascending"), ("offset_days", "ascending")])
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -3282,6 +3314,7 @@ def build_queries() -> dict[str, Callable]:
         "corpus_build": q_corpus_build,
         "knn_join": q_knn_join,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "cohort_retention": q_cohort_retention,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4023,6 +4056,18 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        "cohort_retention": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('day', ts) AS DATE) AS day
+                        FROM events),
+            coh AS (SELECT user_id, MIN(day) AS cohort_day
+                    FROM ud GROUP BY user_id)
+            SELECT c.cohort_day,
+                   (u.day - c.cohort_day)::BIGINT AS offset_days,
+                   COUNT(*)::BIGINT AS n_users
+            FROM ud u JOIN coh c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # knn_join: rank key is (round6(cos) DESC, vec_id) on BOTH sides so
         # last-ulp cosine differences cannot flip the rank-10 boundary.

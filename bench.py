@@ -194,7 +194,7 @@ def bench_queries() -> dict[str, float]:
         "heavy_hitters", "bloom_semijoin", "token_count_bpe", "pagerank",
         "minhash_incremental", "ann_indexed", "kmeans_embeddings",
         "bigjoin_priority", "mixture_sample", "global_quantiles", "ann_pq",
-        "corpus_build", "knn_join", "bpe_pair_counts",
+        "corpus_build", "knn_join", "bpe_pair_counts", "cohort_retention",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

@@ -135,6 +135,7 @@ SQL_CHECKED = [
     "corpus_build",
     "knn_join",
     "bpe_pair_counts",
+    "cohort_retention",
     "pii_scrub",
     "credits_charges",
     "train_split",
