@@ -3125,6 +3125,48 @@ def q_cohort_retention(sf_dir: str):
     ).sort_by([("cohort_day", "ascending"), ("offset_days", "ascending")])
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered-step funnel (view -> click -> purchase, each step strictly
+    after the previous AND within a 24 h conversion window): how many users
+    reach each step. Same shuffle discipline as cohort_retention — ONE
+    co-partitioned exchange on user_id; the kernel computes each user's
+    earliest step-k completion time vectorized (min ts of step k in
+    (t_{k-1}, t_{k-1} + 24 h]) and emits only per-partition step counts;
+    the driver folds parts x 3 rows."""
+    import datetime
+
+    import polars as pl
+
+    steps = ("view", "click", "purchase")
+    window = datetime.timedelta(hours=24)
+
+    def kernel(df: pl.DataFrame) -> pl.DataFrame:
+        per_user = df.group_by("user_id").agg(
+            pl.col("ts").filter(pl.col("event_type") == steps[0])
+            .min().alias("t1"))
+        for i, s in enumerate(steps[1:], start=2):
+            nxt = (df.join(per_user.select(["user_id", f"t{i-1}"]),
+                           on="user_id")
+                   .filter((pl.col("event_type") == s)
+                           & (pl.col("ts") > pl.col(f"t{i-1}"))
+                           & (pl.col("ts") <= pl.col(f"t{i-1}") + window))
+                   .group_by("user_id").agg(pl.col("ts").min().alias(f"t{i}")))
+            per_user = per_user.join(nxt, on="user_id", how="left")
+        return pl.DataFrame(
+            {"step": pl.Series(list(steps), dtype=pl.String),
+             "n_part": pl.Series(
+                 [per_user[f"t{i}"].drop_nulls().len()
+                  for i in range(1, len(steps) + 1)], dtype=pl.Int64)})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    parts = _collect(_co_partitioned(ds, "user_id", kernel, n_parts=16))
+    t = parts.group_by("step").aggregate([("n_part", "sum")])
+    return pa.table(
+        {"step": t.column("step"),
+         "n_users": pc.cast(t.column("n_part_sum"), pa.int64())}
+    ).sort_by("step")
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -3315,6 +3357,7 @@ def build_queries() -> dict[str, Callable]:
         "knn_join": q_knn_join,
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
+        "event_funnel": q_event_funnel,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4056,6 +4099,24 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        "event_funnel": """
+            WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, MIN(e.ts) AS t
+                   FROM events e JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > t1.t
+                     AND e.ts <= t1.t + INTERVAL 24 HOUR
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, MIN(e.ts) AS t
+                   FROM events e JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t
+                     AND e.ts <= t2.t + INTERVAL 24 HOUR
+                   GROUP BY e.user_id)
+            SELECT 'view' AS step, COUNT(*)::BIGINT AS n_users FROM t1
+            UNION ALL SELECT 'click', COUNT(*)::BIGINT FROM t2
+            UNION ALL SELECT 'purchase', COUNT(*)::BIGINT FROM t3
+            ORDER BY step
         """,
         "cohort_retention": """
             WITH ud AS (SELECT DISTINCT user_id,

@@ -136,6 +136,7 @@ SQL_CHECKED = [
     "knn_join",
     "bpe_pair_counts",
     "cohort_retention",
+    "event_funnel",
     "pii_scrub",
     "credits_charges",
     "train_split",
