@@ -3125,6 +3125,48 @@ def q_cohort_retention(sf_dir: str):
     ).sort_by([("cohort_day", "ascending"), ("offset_days", "ascending")])
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Recrawl scheduling policy from monitor history (the A6/T9 analog
+    pipelines feed): per monitored key (user_id = URL analog), estimate the
+    change rate over its snapshot sequence with Laplace smoothing
+    (n_changed + 1) / (n_obs + 1), take the top-50 keys to recrawl first.
+    Co-partitioned on user_id so each key's full history is local: the
+    kernel shift-compares snapshots (same window as monitor_changes),
+    reduces to per-key (n_changed, n_obs) AND keeps only its LOCAL top-50 —
+    the driver merges <= parts x 50 rows, never the key universe."""
+    import polars as pl
+
+    k = 50
+
+    def kernel(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.sort(["user_id", "ts", "event_id"])
+        prev = pl.col("props").shift(1).over("user_id")
+        df = df.with_columns(
+            ((pl.col("props") != prev) & prev.is_not_null())
+            .fill_null(False).alias("changed"))
+        st = df.group_by("user_id").agg(
+            pl.col("changed").sum().cast(pl.Int64).alias("n_changed"),
+            pl.len().cast(pl.Int64).alias("n_obs"))
+        st = st.with_columns(pl.Series(
+            "priority",
+            _round6_half_away(((st["n_changed"] + 1.0)
+                               / (st["n_obs"] + 1.0)).to_numpy())))
+        return st.sort(["priority", "user_id"],
+                       descending=[True, False]).head(k)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "props"])
+    parts = _collect(_co_partitioned(ds, "user_id", kernel, n_parts=16))
+    ids = parts.column("user_id").to_numpy()
+    pr = parts.column("priority").to_numpy()
+    order = np.lexsort((ids, -pr))[:k]
+    return pa.table(
+        {"user_id": parts.column("user_id").take(order),
+         "n_changed": parts.column("n_changed").take(order),
+         "n_obs": parts.column("n_obs").take(order),
+         "priority": parts.column("priority").take(order)}
+    )
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered-step funnel (view -> click -> purchase, each step strictly
     after the previous AND within a 24 h conversion window): how many users
@@ -3358,6 +3400,7 @@ def build_queries() -> dict[str, Callable]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
+        "recrawl_priority": q_recrawl_priority,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4099,6 +4142,24 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        # recrawl_priority: ORDER BY includes the rounded priority so both
+        # engines rank on identical 6-dp values; result set is the UNIQUE
+        # top-50 because (priority, user_id) is a total order.
+        "recrawl_priority": """
+            WITH ch AS (
+                SELECT user_id,
+                       COALESCE(props <> LAG(props) OVER w, FALSE) AS changed
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            st AS (SELECT user_id,
+                          SUM(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT
+                              AS n_changed,
+                          COUNT(*)::BIGINT AS n_obs
+                   FROM ch GROUP BY user_id)
+            SELECT user_id, n_changed, n_obs,
+                   ROUND((n_changed + 1.0) / (n_obs + 1.0), 6) AS priority
+            FROM st ORDER BY priority DESC, user_id LIMIT 50
         """,
         "event_funnel": """
             WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events

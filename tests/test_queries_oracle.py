@@ -137,6 +137,7 @@ SQL_CHECKED = [
     "bpe_pair_counts",
     "cohort_retention",
     "event_funnel",
+    "recrawl_priority",
     "pii_scrub",
     "credits_charges",
     "train_split",
