@@ -3125,6 +3125,26 @@ def q_cohort_retention(sf_dir: str):
     ).sort_by([("cohort_day", "ascending"), ("offset_days", "ascending")])
 
 
+def q_vocab_build(sf_dir: str):
+    """Tokenizer-vocabulary construction: tokens with tf >= 5, assigned
+    STABLE ids by (tf DESC, token ASC) rank — the id assignment every
+    tokenizer/embedding table needs to be reproducible across runs. The
+    vocabulary arrives via the combiner pipeline (_vocab_table — only
+    vocab-sized partials shuffle); the rank sort runs over the VOCAB, which
+    is corpus-sublinear, not over the token stream."""
+    min_tf = 5
+    vt = _vocab_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+    vt = vt.filter(pc.greater_equal(vt.column("tf"), min_tf))
+    toks = vt.column("token").to_pylist()
+    tf = vt.column("tf").to_numpy()
+    order = np.lexsort((np.asarray(toks, dtype=object), -tf))
+    return pa.table(
+        {"token_id": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+         "token": pa.array([toks[i] for i in order], pa.string()),
+         "tf": pa.array(tf[order], pa.int64())}
+    )
+
+
 def q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling policy from monitor history (the A6/T9 analog
     pipelines feed): per monitored key (user_id = URL analog), estimate the
@@ -3401,6 +3421,7 @@ def build_queries() -> dict[str, Callable]:
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
         "recrawl_priority": q_recrawl_priority,
+        "vocab_build": q_vocab_build,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4142,6 +4163,15 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        "vocab_build": f"""
+            WITH t AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, COUNT(*)::BIGINT AS tf FROM t GROUP BY token),
+            f AS (SELECT token, tf FROM c WHERE tf >= 5)
+            SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, token)::BIGINT
+                       AS token_id,
+                   token, tf
+            FROM f ORDER BY token_id
         """,
         # recrawl_priority: ORDER BY includes the rounded priority so both
         # engines rank on identical 6-dp values; result set is the UNIQUE

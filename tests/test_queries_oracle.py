@@ -138,6 +138,7 @@ SQL_CHECKED = [
     "cohort_retention",
     "event_funnel",
     "recrawl_priority",
+    "vocab_build",
     "pii_scrub",
     "credits_charges",
     "train_split",
