@@ -3125,6 +3125,40 @@ def q_cohort_retention(sf_dir: str):
     ).sort_by([("cohort_day", "ascending"), ("offset_days", "ascending")])
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-document codepoint entropy (bits/char) — the compressibility
+    quality signal (low-entropy pages are boilerplate/repetition; public
+    Gopher-family filters use this class of rule). Vectorized like
+    strhash.hash_strings: the batch's strings view as one (n, maxlen) UCS4
+    codepoint matrix, (row, code) pair counts come from ONE np.unique over
+    packed row<<32|code keys, and the entropy sum folds back per row with
+    np.add.at — no per-document Python loop. Same NUL-free input contract
+    as strhash (numpy's 0-padded UCS4 layout)."""
+    def entropy_fn(t: pa.Table) -> pa.Table:
+        strs = t.column("text").to_pylist()
+        n_docs = len(strs)
+        arr = np.asarray(strs, dtype="U")
+        maxlen = arr.dtype.itemsize // 4
+        ent = np.zeros(n_docs, dtype=np.float64)
+        if maxlen:
+            codes = arr.view(np.uint32).reshape(n_docs, maxlen)
+            rows, cols = np.nonzero(codes)
+            keys = (rows.astype(np.uint64) << np.uint64(32)) \
+                | codes[rows, cols].astype(np.uint64)
+            uk, counts = np.unique(keys, return_counts=True)
+            urow = (uk >> np.uint64(32)).astype(np.int64)
+            n = np.maximum((codes != 0).sum(axis=1), 1).astype(np.float64)
+            p = counts / n[urow]
+            np.add.at(ent, urow, -p * np.log2(p))
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "entropy": pa.array(_round6_half_away(ent), pa.float64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(entropy_fn, batch_format="pyarrow",
+                                   batch_size=2048)).sort_by("doc_id")
+
+
 def q_vocab_build(sf_dir: str):
     """Tokenizer-vocabulary construction: tokens with tf >= 5, assigned
     STABLE ids by (tf DESC, token ASC) rank — the id assignment every
@@ -3422,6 +3456,7 @@ def build_queries() -> dict[str, Callable]:
         "event_funnel": q_event_funnel,
         "recrawl_priority": q_recrawl_priority,
         "vocab_build": q_vocab_build,
+        "char_entropy": q_char_entropy,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4163,6 +4198,17 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
+        """,
+        "char_entropy": """
+            WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents),
+            cc AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS k
+                   FROM ch GROUP BY doc_id, c),
+            n AS (SELECT doc_id, SUM(k) AS n FROM cc GROUP BY doc_id)
+            SELECT cc.doc_id,
+                   ROUND(-SUM((k / n.n) * log2(k / n.n)), 6) AS entropy
+            FROM cc JOIN n USING (doc_id)
+            GROUP BY cc.doc_id, n.n ORDER BY doc_id
         """,
         "vocab_build": f"""
             WITH t AS (SELECT unnest({_TOKENS}) AS token FROM documents),

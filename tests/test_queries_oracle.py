@@ -139,6 +139,7 @@ SQL_CHECKED = [
     "event_funnel",
     "recrawl_priority",
     "vocab_build",
+    "char_entropy",
     "pii_scrub",
     "credits_charges",
     "train_split",
