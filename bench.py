@@ -196,6 +196,7 @@ def bench_queries() -> dict[str, float]:
         "bigjoin_priority", "mixture_sample", "global_quantiles", "ann_pq",
         "corpus_build", "knn_join", "bpe_pair_counts", "cohort_retention",
         "event_funnel", "recrawl_priority", "vocab_build", "char_entropy",
+        "containment_pairs",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

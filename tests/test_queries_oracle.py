@@ -140,6 +140,7 @@ SQL_CHECKED = [
     "recrawl_priority",
     "vocab_build",
     "char_entropy",
+    "containment_pairs",
     "pii_scrub",
     "credits_charges",
     "train_split",
