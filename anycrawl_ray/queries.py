@@ -2989,11 +2989,18 @@ def q_global_quantiles(sf_dir: str, **kw):
     ``n_buckets``/``cap`` are exposed so tests can force multiple
     refinement rounds on small corpora (sf0.01 fits under the default cap
     and would otherwise go straight to the collect pass)."""
+    return global_quantiles_dataset(
+        _read(sf_dir, "events", ["value"]), **kw)
+
+
+def global_quantiles_dataset(ds: rd.Dataset, **kw) -> pa.Table:
+    """Histogram-refinement exact selection over any Dataset with a float
+    ``value`` column (see q_global_quantiles). Factored so tests can feed
+    pathological distributions (all-equal values, duplicate-heavy
+    intervals) directly."""
     n_buckets = kw.get("n_buckets", 2048)
     cap = kw.get("cap", 65536)
-    qs = (0.5, 0.9, 0.99)
-
-    ds = _read(sf_dir, "events", ["value"])
+    qs = kw.get("qs", (0.5, 0.9, 0.99))
 
     def stats_fn(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy()

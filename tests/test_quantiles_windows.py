@@ -100,3 +100,41 @@ def test_global_quantiles_forced_refinement(ray_session):
         k = int(np.ceil(row["q"] * n))
         assert row["k"] == k
         assert row["value"] == vals[k - 1], row
+
+
+def test_global_quantiles_all_equal_values(ray_session):
+    """Degenerate input: every value identical — the interval can never
+    split, the max-rounds guard must fire and the collect pass still
+    returns the (only possible) exact answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.queries import global_quantiles_dataset
+
+    ds = rd.from_arrow(pa.table({"value": pa.array([7.5] * 3000)}))
+    got = global_quantiles_dataset(ds, n_buckets=8, cap=100)
+    for row in got.to_pylist():
+        assert row["value"] == 7.5
+        assert row["k"] == int(np.ceil(row["q"] * 3000))
+
+
+def test_global_quantiles_duplicate_heavy(ray_session):
+    """One value holds 60% of the mass (straddles the p50 rank); exactness
+    must survive the stuck-bucket path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.queries import global_quantiles_dataset
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([np.full(1800, 3.25), rng.uniform(0, 10, 1200)])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)}))
+    got = global_quantiles_dataset(ds, n_buckets=16, cap=50)
+    ref = np.sort(vals)
+    for row in got.to_pylist():
+        k = int(np.ceil(row["q"] * len(vals)))
+        assert row["k"] == k
+        assert row["value"] == ref[k - 1]

@@ -66,3 +66,18 @@ def test_doc_fingerprint_detects_identity_not_noise():
     b = doc_fingerprint("some document body with words")
     c = doc_fingerprint("completely different content here")
     assert a == b and a != c
+
+
+def test_winnow_from_hashes_equivalence():
+    """winnow_fingerprints(text) must equal winnow_from_hashes over the
+    same rolling hashes for every length regime (0, <=w, >w)."""
+    import numpy as np
+
+    from anycrawl_ray.functions.text import (rolling_kgram_hashes,
+                                             winnow_fingerprints,
+                                             winnow_from_hashes)
+
+    for text in ("", "short", "abcdefghij", "the quick brown fox " * 40):
+        h = rolling_kgram_hashes(text, 8)
+        assert np.array_equal(winnow_fingerprints(text),
+                              winnow_from_hashes(h))
