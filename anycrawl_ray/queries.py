@@ -2920,6 +2920,23 @@ def q_bigjoin_priority(sf_dir: str):
     )
 
 
+def largest_remainder_quotas(counts: dict, n_target: int) -> dict:
+    """Integer largest-remainder apportionment over w_s = floor(sqrt(c_s))
+    weights — ALL-integer arithmetic, so no float rounding can flip a seat
+    between the Ray side and a SQL re-derivation. Ties on remainder break
+    by key ascending. sum(quotas) == n_target whenever any weight > 0."""
+    w = {s: int(np.sqrt(n)) for s, n in counts.items()}
+    tw = sum(w.values())
+    if tw == 0:
+        return {s: 0 for s in counts}
+    base = {s: n_target * w[s] // tw for s in w}
+    frac = {s: n_target * w[s] % tw for s in w}
+    rem = n_target - sum(base.values())
+    for s in sorted(w, key=lambda s: (-frac[s], s))[:rem]:
+        base[s] += 1
+    return base
+
+
 def q_mixture_sample(sf_dir: str, n_target: int = 200):
     """Temperature-weighted mixture sampling across sources — the data-mixing
     staple (sampling weights proportional to count^alpha, alpha=0.5, as in
@@ -2945,14 +2962,7 @@ def q_mixture_sample(sf_dir: str, n_target: int = 200):
         _read(sf_dir, "documents", ["source"])
         .groupby("source").aggregate(Count(alias_name="c")))
     c = {r["source"]: int(r["c"]) for r in counts_t.to_pylist()}
-    w = {s: int(np.sqrt(n)) for s, n in c.items()}
-    tw = sum(w.values())
-    base = {s: n_target * w[s] // tw for s in w}
-    frac = {s: n_target * w[s] % tw for s in w}
-    rem = n_target - sum(base.values())
-    for s in sorted(w, key=lambda s: (-frac[s], s))[:rem]:
-        base[s] += 1
-    quotas = base
+    quotas = largest_remainder_quotas(c, n_target)
 
     def kernel(df: pl.DataFrame) -> pl.DataFrame:
         hk = splitmix64(df["doc_id"].to_numpy().astype(np.uint64))

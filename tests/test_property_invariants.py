@@ -140,3 +140,33 @@ def test_seen_shard_matches_python_set(batches_seed, capacity):
     probe = [f"http://h{v % 7}.t/p/{v}" for v in range(0, 420, 13)]
     got = shard.contains(probe, stable_hash64(probe))
     assert list(got) == [u in ref for u in probe]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=6),
+                       st.integers(min_value=1, max_value=10**9),
+                       min_size=1, max_size=30),
+       st.integers(min_value=0, max_value=10**6))
+def test_largest_remainder_quota_laws(counts, n_target):
+    from anycrawl_ray.queries import largest_remainder_quotas
+
+    q = largest_remainder_quotas(counts, n_target)
+    assert set(q) == set(counts)
+    assert all(v >= 0 for v in q.values())
+    import numpy as np
+    w = {s: int(np.sqrt(n)) for s, n in counts.items()}
+    tw = sum(w.values())
+    if tw == 0:
+        assert sum(q.values()) == 0
+        return
+    assert sum(q.values()) == n_target
+    # each quota within 1 seat of its exact proportional share
+    for s in counts:
+        exact = n_target * w[s] / tw
+        assert exact - 1 < q[s] < exact + 1 + 1e-9
+    # determinism
+    assert q == largest_remainder_quotas(dict(counts), n_target)
