@@ -3346,6 +3346,58 @@ def q_recrawl_priority(sf_dir: str):
     )
 
 
+def q_rolling_active_users(sf_dir: str):
+    """7-day SLIDING distinct-user count per observed day (weekly-active-
+    users, the windowed-distinct analytics staple — distinct-over-window
+    does not decompose into rolling sums, so it needs its own shape):
+    shuffle 1 co-partitions on user_id and reduces the event stream to
+    distinct (user, day) pairs; each pair then expands to the <= 7 window
+    days it supports (the observed-day list is tiny and rides in the
+    closure); shuffle 2 co-partitions on window day and counts distinct
+    users per day with a vectorized n_unique. Expansion is bounded at 7x
+    the (user, day) pair count — far below the raw event stream."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def daily_kernel(df: pl.DataFrame) -> pl.DataFrame:
+        return (df.with_columns(
+            pl.col("ts").dt.truncate("1d").cast(pl.Date).alias("day"))
+            .select(["user_id", "day"]).unique())
+
+    pairs = _co_partitioned(ds, "user_id", daily_kernel, n_parts=16) \
+        .materialize()
+    days_t = _collect(pairs.groupby("day").aggregate(Count(alias_name="n")))
+    days = np.sort(np.asarray(days_t.column("day").to_pylist(),
+                              dtype="datetime64[D]"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        uid = t.column("user_id").to_numpy()
+        out_d, out_u = [], []
+        for wday in days:
+            m = (day <= wday) & (day >= wday - np.timedelta64(6, "D"))
+            out_d.append(np.full(int(m.sum()), wday))
+            out_u.append(uid[m])
+        return pa.table(
+            {"wday": pa.array(np.concatenate(out_d) if out_d
+                              else np.array([], dtype="datetime64[D]")),
+             "user_id": pa.array(np.concatenate(out_u) if out_u
+                                 else np.array([], np.int64), pa.int64())})
+
+    def count_kernel(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by("wday").agg(
+            pl.col("user_id").n_unique().cast(pl.Int64).alias("n_users_7d"))
+
+    expanded = pairs.map_batches(expand, batch_format="pyarrow")
+    out = _collect(_co_partitioned(expanded, "wday", count_kernel,
+                                   n_parts=8))
+    return pa.table({"day": out.column("wday"),
+                     "n_users_7d": out.column("n_users_7d")}) \
+        .sort_by("day")
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered-step funnel (view -> click -> purchase, each step strictly
     after the previous AND within a 24 h conversion window): how many users
@@ -3579,6 +3631,7 @@ def build_queries() -> dict[str, Callable]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
+        "rolling_active_users": q_rolling_active_users,
         "recrawl_priority": q_recrawl_priority,
         "vocab_build": q_vocab_build,
         "char_entropy": q_char_entropy,
@@ -4437,6 +4490,17 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT user_id, n_changed, n_obs,
                    ROUND((n_changed + 1.0) / (n_obs + 1.0), 6) AS priority
             FROM st ORDER BY priority DESC, user_id LIMIT 50
+        """,
+        "rolling_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('day', ts) AS DATE) AS day
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            exp AS (SELECT d.day AS wday, u.user_id
+                    FROM ud u JOIN days d
+                    ON u.day BETWEEN d.day - 6 AND d.day)
+            SELECT wday AS day, COUNT(DISTINCT user_id)::BIGINT AS n_users_7d
+            FROM exp GROUP BY wday ORDER BY wday
         """,
         "event_funnel": """
             WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -137,6 +137,7 @@ SQL_CHECKED = [
     "bpe_pair_counts",
     "cohort_retention",
     "event_funnel",
+    "rolling_active_users",
     "recrawl_priority",
     "vocab_build",
     "char_entropy",
