@@ -125,6 +125,16 @@ def connected_components(
     across shards in one vectorized pass. At even larger scale the load
     step would stream per-shard arc tables straight from a Dataset write —
     the actor protocol is unchanged.
+
+    Convergence bound: plain min-label propagation converges in
+    O(component diameter) rounds, which is ideal for the near-clique
+    dedup graphs this serves (diameter ~2-3) but a long PATH-shaped
+    component needs one round per hop — a >``max_iters``-node path raises
+    rather than returning wrong labels. If you reuse this on general
+    graphs with long chains, raise ``max_iters`` or switch to a
+    pointer-jumping variant (labels double their reach per round,
+    O(log diameter)); for the dedup family the propagation form is both
+    simpler and cheaper per round.
     """
     u = edges.column(a_col).to_numpy()
     v = edges.column(b_col).to_numpy()

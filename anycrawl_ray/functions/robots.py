@@ -68,6 +68,30 @@ class RobotsPolicy:
         return np.fromiter((self.is_allowed(p) for p in paths), bool, len(paths))
 
 
+_TOKEN_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyz0123456789-_"
+)
+
+
+def _token_matches(agent: str, ua: str) -> bool:
+    """RFC 9309 §2.2.1 product-token matching (both already lowercased).
+
+    A group's ``User-agent`` value matches when it equals the crawler's
+    product token, or is a prefix of it ending at a non-token character
+    (``anycrawl`` matches UA string ``anycrawl/1.2``; ``-`` and ``_`` ARE
+    token characters, so ``googlebot`` does NOT capture ``googlebot-image``
+    — distinct product tokens). Arbitrary substring containment is NOT a
+    match — a hostile group like ``User-agent: a`` or ``User-agent: craw``
+    must not capture the ``anycrawl`` UA.
+    """
+    if agent == ua:
+        return True
+    if not ua.startswith(agent):
+        return False
+    nxt = ua[len(agent)]
+    return nxt not in _TOKEN_CHARS
+
+
 def parse_robots(text: str, user_agent: str = "anycrawl") -> RobotsPolicy:
     """Parse one robots.txt body and resolve the group for ``user_agent``."""
     groups: list[RobotsGroup] = []
@@ -114,7 +138,7 @@ def parse_robots(text: str, user_agent: str = "anycrawl") -> RobotsPolicy:
             if agent == "*":
                 if best is None:
                     best = (-1, g)  # fallback, outranked by any token match
-            elif agent and agent in ua:
+            elif agent and _token_matches(agent, ua):
                 if best is None or len(agent) > best[0]:
                     best = (len(agent), g)
     if best is None:

@@ -1907,7 +1907,7 @@ def q_stratified_sample(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
         langs = t.column("lang").to_pandas()
-        bucket = ((ids * _STRATA_K) % _SPLIT_M) % 1000
+        bucket = _mulhash_u64(ids, _STRATA_K) % 1000
         rates = langs.map(_STRATA_RATES).fillna(_STRATA_DEFAULT).to_numpy(
             dtype=np.int64)
         keep = bucket < rates
@@ -1951,6 +1951,25 @@ _SPLIT_K = 2654435761  # Knuth multiplicative hash constant (public domain)
 _SPLIT_M = 4294967296  # 2^32
 
 
+def _mulhash_u64(ids: np.ndarray, k: int) -> np.ndarray:
+    """uint64 multiplicative hash (wraps mod 2^64) -> int64 in [0, 2^32).
+    Mirrors ``_sql_mulhash`` so bucket assignment survives keys > ~3.5e9
+    identically on both engines (int64 would wrap signed in numpy while
+    DuckDB BIGINT raises)."""
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64) * np.uint64(k)) % np.uint64(_SPLIT_M)
+    return h.astype(np.int64)
+
+
+def _sql_mulhash(col: str, k: int) -> str:
+    """DuckDB text for ``_mulhash_u64``: UHUGEINT multiply with explicit
+    mod 2^64 (the uint64 wrap rule), then mod 2^32."""
+    return (
+        f"((((({col})::UHUGEINT * {k}) % 18446744073709551616)"
+        f" % {_SPLIT_M})::BIGINT)"
+    )
+
+
 def q_train_split(sf_dir: str):
     """Deterministic train/validation/test split (80/10/10) — the
     training-data staple: bucket = Knuth multiplicative hash of doc_id
@@ -1961,7 +1980,7 @@ def q_train_split(sf_dir: str):
 
     def f(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
-        bucket = ((ids * _SPLIT_K) % _SPLIT_M) % 10
+        bucket = _mulhash_u64(ids, _SPLIT_K) % 10
         split = np.where(
             bucket < 8, "train", np.where(bucket < 9, "validation", "test")
         )
@@ -4016,7 +4035,7 @@ def build_oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             WITH b AS (
                 SELECT doc_id, lang,
-                       ((doc_id * {_STRATA_K}) % {_SPLIT_M}) % 1000 AS bucket
+                       {_sql_mulhash('doc_id', _STRATA_K)} % 1000 AS bucket
                 FROM documents
             )
             SELECT doc_id, lang, bucket FROM b
@@ -4030,7 +4049,7 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         # mirrors sinks.partition_ids + the per-partition row acks
         "resumable_write": f"""
-            SELECT ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % {_SINK_PARTS} AS part,
+            SELECT {_sql_mulhash('doc_id', _SPLIT_K)} % {_SINK_PARTS} AS part,
                    COUNT(*) AS n_rows
             FROM documents GROUP BY part ORDER BY part
         """,
@@ -4188,10 +4207,10 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "train_split": f"""
             SELECT doc_id,
-                   ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 AS bucket,
-                   CASE WHEN ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 < 8
+                   {_sql_mulhash('doc_id', _SPLIT_K)} % 10 AS bucket,
+                   CASE WHEN {_sql_mulhash('doc_id', _SPLIT_K)} % 10 < 8
                             THEN 'train'
-                        WHEN ((doc_id * {_SPLIT_K}) % {_SPLIT_M}) % 10 < 9
+                        WHEN {_sql_mulhash('doc_id', _SPLIT_K)} % 10 < 9
                             THEN 'validation'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id

@@ -43,8 +43,15 @@ _MARKER = "_SUCCESS"
 
 
 def partition_ids(keys: np.ndarray, n_parts: int) -> np.ndarray:
-    """Closed-form partition assignment for an int64 key column."""
-    return ((keys.astype(np.int64) * HASH_K) % HASH_M) % n_parts
+    """Closed-form partition assignment for an int64 key column.
+
+    The multiply runs in uint64 (wrapping mod 2^64) so keys above ~3.5e9
+    hash identically here and in the SQL mirror's UHUGEINT-mod-2^64
+    arithmetic — int64 would wrap *signed* where BIGINT SQL raises,
+    breaking cross-engine reproducibility exactly at design scale."""
+    with np.errstate(over="ignore"):
+        h = (keys.astype(np.uint64) * np.uint64(HASH_K)) % np.uint64(HASH_M)
+    return (h % np.uint64(n_parts)).astype(np.int64)
 
 
 def completed_parts(out_dir: str) -> dict[int, dict]:

@@ -58,10 +58,23 @@ class PolitenessCore:
             self.load_robots(robots_table)
 
     # -- robots cache (S9) ----------------------------------------------
+    def _delay_to_rate(self, delay_sec) -> float:
+        """Untrusted Crawl-delay -> token rate. Clamp to a sane positive
+        window (0 < delay <= 3600 s); anything else (negative, zero, inf,
+        NaN, denormal like 1e-300) is ignored so a hostile robots.txt can
+        neither starve a host's bucket forever nor unbound its rate."""
+        try:
+            d = float(delay_sec)
+        except (TypeError, ValueError):
+            return self.default_rate
+        if not (1e-3 <= d <= 3600.0):
+            return self.default_rate
+        return 1.0 / d
+
     def load_robots(self, table: pa.Table) -> None:
         for row in table.to_pylist():
             rate = (
-                1000.0 / row["crawl_delay_ms"]
+                self._delay_to_rate(row["crawl_delay_ms"] / 1000.0)
                 if row.get("crawl_delay_ms")
                 else self.default_rate
             )
@@ -80,7 +93,11 @@ class PolitenessCore:
         from ..functions.robots import parse_robots
 
         policy = parse_robots(text, user_agent)
-        rate = (1.0 / policy.crawl_delay) if policy.crawl_delay else self.default_rate
+        rate = (
+            self._delay_to_rate(policy.crawl_delay)
+            if policy.crawl_delay is not None
+            else self.default_rate
+        )
         entry = self.rules.setdefault(host, {"disallow": [], "rate": rate,
                                              "sitemaps": []})
         entry["policy"] = policy
