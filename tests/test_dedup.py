@@ -280,3 +280,57 @@ def test_minhash_incremental_equals_filtered_full(ray_session):
                    inc.column("jaccard").to_pylist()))
     assert got == want
     assert len(got) > 0  # fixture must actually exercise the path
+
+
+def test_jaccard_pairs_batch_matches_scalar():
+    """Vectorized pair verify == scalar jaccard on random sorted-unique
+    sides, bytes and ndarray input forms, including empty sides."""
+    rng = np.random.RandomState(7)
+    sides_a, sides_b = [], []
+    for _ in range(200):
+        na, nb = rng.randint(0, 40), rng.randint(0, 40)
+        pool = rng.choice(10_000, size=60, replace=False).astype(np.uint64)
+        sides_a.append(np.unique(pool[:na]))
+        sides_b.append(np.unique(pool[20:20 + nb]))
+    expect = np.array([dd.jaccard(a, b) for a, b in zip(sides_a, sides_b)])
+    got_arr = dd.jaccard_pairs_batch(sides_a, sides_b)
+    got_bytes = dd.jaccard_pairs_batch([a.tobytes() for a in sides_a],
+                                       [b.tobytes() for b in sides_b])
+    assert np.allclose(got_arr, expect)
+    assert np.allclose(got_bytes, expect)
+    assert dd.jaccard_pairs_batch([], []).shape == (0,)
+
+
+def test_jaccard_pairs_batch_high_dup_speedup():
+    """On a heavy-dup partition (5k pairs x ~200 shingles) the batched
+    kernel must beat the per-pair shape it replaced (frombuffer +
+    intersect1d-jaccard per pair). Best-of-3 warm timings each — this
+    host's first-touch page cost swings cold runs 2-4x."""
+    import time
+
+    rng = np.random.RandomState(11)
+    base = np.unique(rng.randint(0, 1 << 30, size=240).astype(np.uint64))
+    sides_a = [base[rng.rand(len(base)) < 0.9].tobytes() for _ in range(5000)]
+    sides_b = [base[rng.rand(len(base)) < 0.9].tobytes() for _ in range(5000)]
+
+    def replaced():
+        return np.array([
+            dd.jaccard(np.frombuffer(a, np.uint64),
+                       np.frombuffer(b, np.uint64))
+            for a, b in zip(sides_a, sides_b)
+        ])
+
+    def batched():
+        return dd.jaccard_pairs_batch(sides_a, sides_b)
+
+    batched(), replaced()  # warm both paths
+    t_batch, t_scalar = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = batched()
+        t_batch.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        want = replaced()
+        t_scalar.append(time.perf_counter() - t0)
+    assert np.allclose(got, want)
+    assert min(t_batch) < min(t_scalar), (t_batch, t_scalar)
