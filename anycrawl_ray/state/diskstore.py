@@ -63,6 +63,40 @@ def link_or_copy(src: str, dst: str) -> None:
         os.replace(tmp, dst)
 
 
+def checkpoint_link(src: str, dst: str) -> None:
+    """``link_or_copy`` for checkpoint dirs, safe against stale leftovers:
+    sequence-numbered segment names RESTART after a resume, so ``dst`` may
+    exist from a crashed attempt with DIFFERENT content. Same inode => the
+    link is already there (skip, the O(delta) fast path); anything else is
+    replaced."""
+    if os.path.exists(dst):
+        try:
+            if os.path.samefile(src, dst):
+                return
+        except OSError:
+            pass
+        os.unlink(dst)
+    link_or_copy(src, dst)
+
+
+def write_segment_file(path: str, urls: list[str], hashes: np.ndarray) -> None:
+    """Write one (url_hash, url)-sorted immutable segment file atomically.
+    Shared by the store's flush path and the shard's memtable checkpoint
+    (both produce the same layout, so a restore can adopt either)."""
+    order = np.lexsort((np.asarray(urls, dtype=object), hashes))
+    t = pa.Table.from_arrays(
+        [
+            pa.array(hashes[order], pa.uint64()),
+            pa.array([urls[i] for i in order], pa.string()),
+        ],
+        schema=_SEG_SCHEMA,
+    )
+    tmp = path + ".tmp"
+    with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, _SEG_SCHEMA) as w:
+        w.write_table(t)
+    os.replace(tmp, path)
+
+
 @dataclass
 class _Segment:
     path: str
@@ -97,15 +131,10 @@ class DiskSegmentStore:
         """Write one sorted immutable segment and mmap it back in."""
         if not urls:
             return
-        order = np.lexsort((np.asarray(urls, dtype=object), hashes))
-        t = pa.Table.from_arrays(
-            [
-                pa.array(hashes[order], pa.uint64()),
-                pa.array([urls[i] for i in order], pa.string()),
-            ],
-            schema=_SEG_SCHEMA,
-        )
-        self._write_segment(t)
+        path = os.path.join(self.dir, f"seg{self._seq:06d}.arrow")
+        self._seq += 1
+        write_segment_file(path, urls, hashes)
+        self._open_segment(path)
         self._maybe_compact()
 
     def _write_segment(self, t: pa.Table) -> None:
@@ -163,6 +192,32 @@ class DiskSegmentStore:
             os.unlink(s.path)
         self._write_segment(merged)
         self.compactions += 1
+
+    # -- checkpoint ------------------------------------------------------
+    def checkpoint_to(self, ck_dir: str) -> list[dict]:
+        """Hard-link every live immutable segment into ``ck_dir``.
+
+        New bytes written: ZERO on the same filesystem (links), one copy
+        per segment — ever — on a shared checkpoint filesystem (a name
+        already present is skipped, and segment files never change after
+        creation, so re-checkpointing an already-shipped segment is free).
+        Returns ``[{"file": name, "rows": n}, ...]`` for the manifest.
+        """
+        os.makedirs(ck_dir, exist_ok=True)
+        out = []
+        for s in self._segments:
+            name = os.path.basename(s.path)
+            checkpoint_link(s.path, os.path.join(ck_dir, name))
+            out.append({"file": name, "rows": int(len(s.hashes))})
+        return out
+
+    def adopt_segment(self, path: str) -> None:
+        """Bring a checkpointed immutable segment into this store: link it
+        under the next local sequence number and mmap it (restore path)."""
+        dst = os.path.join(self.dir, f"seg{self._seq:06d}.arrow")
+        self._seq += 1
+        link_or_copy(path, dst)
+        self._open_segment(dst)
 
     # -- read path -------------------------------------------------------
     def contains_batch(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:

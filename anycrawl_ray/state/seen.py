@@ -11,9 +11,11 @@ index, reference packages/scrape/src/engines/Base.ts:464-473; coordinator
   (false positives never drop URLs — SURVEY.md §7.5.3).
 - spill: when the cuckoo overflows, the shard flips to a bloom filter rebuilt
   from the exact set (north_rule "bloom fallback for spill").
-- checkpoint: ``dump()``/``restore()`` round-trips the exact set through an
-  Arrow table (SEEN_SCHEMA) written to Lance/parquet by the pipeline; filters
-  are rebuilt deterministically on restore (SURVEY.md §7.5.6).
+- checkpoint: disk-backed shards checkpoint O(delta) via ``checkpoint_to``
+  (hard-linked immutable segments + the bounded memtable as one new segment
+  file; in-flight URLs become tombstones on restore); in-memory shards keep
+  the legacy full ``dump()``/``restore()`` Arrow round-trip (SEEN_SCHEMA).
+  Filters are rebuilt deterministically on restore (SURVEY.md §7.5.6).
 
 Hashing uses polars' stable 64-bit string hash (vectorized, process-stable for
 a fixed seed) — no per-row Python hashing on the hot path.
@@ -60,6 +62,11 @@ class SeenShardCore:
         self.cuckoo: CuckooFilter | None = CuckooFilter(capacity, seed=shard_id)
         self.bloom: BloomFilter | None = None
         self.memtable_cap = memtable_cap
+        # tombstones: URLs physically present in restored segments but
+        # logically UNSEEN (they were in flight at checkpoint time and must
+        # be re-fetched exactly once on resume). Bounded by the dispatch
+        # window. First check_and_add wins and clears the tombstone.
+        self.tombstones: set[str] = set()
         self.store = None
         if store_dir is not None:
             from .diskstore import DiskSegmentStore
@@ -118,6 +125,13 @@ class SeenShardCore:
             )
         new_hashes = []
         for i, u in enumerate(urls):
+            if self.tombstones and u in self.tombstones:
+                # restored-but-in-flight URL: report new ONCE (its hash is
+                # already in the filter and its row in a segment — nothing
+                # to insert, only the logical mark flips)
+                self.tombstones.discard(u)
+                out[i] = True
+                continue
             # memtable probe also catches in-batch dups (filter insert is
             # deferred to the end of the batch)
             if disk_known[i] or u in self.exact:
@@ -140,12 +154,19 @@ class SeenShardCore:
             if maybe[i] and not out[i]:
                 out[i] = u in self.exact
             # negative => definitely unseen (cuckoo w/o overflow, bloom always)
+            if out[i] and self.tombstones and u in self.tombstones:
+                out[i] = False  # logically unseen until re-fetched
         return out
 
     def dump(self) -> pa.Table:
+        # legacy full-table dump — the checkpoint path for in-memory shards
+        # and tests; disk-backed shards checkpoint via ``checkpoint_to``
+        # (O(delta)) instead, so the O(total) URL materialization here never
+        # sits on the at-scale job's checkpoint path
         all_urls = set(self.exact)
         if self.store is not None:
             all_urls.update(self.store.all_urls())
+        all_urls -= self.tombstones
         urls = sorted(all_urls)  # deterministic checkpoint bytes
         hashes = stable_hash64(urls) if urls else np.array([], dtype=np.uint64)
         return pa.Table.from_pydict(
@@ -157,8 +178,53 @@ class SeenShardCore:
             schema=SEEN_SCHEMA,
         )
 
+    def checkpoint_to(self, ck_dir: str, version: int) -> dict:
+        """O(delta) checkpoint for disk-backed shards (VERDICT r3 wrong #1):
+        hard-link the immutable disk segments (zero new bytes on the same
+        filesystem) and write ONLY the bounded memtable as new bytes, laid
+        out as one more segment file so restore adopts everything uniformly.
+        The memtable file is versioned: a crash after this write but before
+        the job meta flips still resumes from the PREVIOUS consistent set.
+        """
+        from .diskstore import write_segment_file
+
+        assert self.store is not None, "segment checkpoint requires store_dir"
+        shard_dir = os.path.join(ck_dir, f"shard{self.shard_id:03d}")
+        os.makedirs(shard_dir, exist_ok=True)
+        manifest = self.store.checkpoint_to(shard_dir)
+        files = [m["file"] for m in manifest]
+        rows = sum(m["rows"] for m in manifest)
+        if self.exact:
+            name = f"memtable-{version:06d}.arrow"
+            urls = list(self.exact)
+            write_segment_file(os.path.join(shard_dir, name), urls,
+                               stable_hash64(urls))
+            files.append(name)
+            rows += len(urls)
+        return {"shard": self.shard_id, "files": files, "rows": rows}
+
+    def restore_from_checkpoint(self, shard_dir: str, files: list[str],
+                                exclude: list[str]) -> None:
+        """Rebuild from a segment-manifest checkpoint: adopt each file as a
+        live segment (hard-link + mmap — no URL strings pass through Python),
+        rebuild the membership filter from the mmap'd hash columns, and mark
+        ``exclude`` (in-flight at checkpoint time) as tombstones."""
+        from .diskstore import DiskSegmentStore
+
+        assert self.store is not None
+        self.store = DiskSegmentStore(self.store.dir)  # drop crashed scratch
+        self.exact = set()
+        self.cuckoo = CuckooFilter(self.capacity, seed=self.shard_id)
+        self.bloom = None
+        for name in files:
+            self.store.adopt_segment(os.path.join(shard_dir, name))
+        if self.store.n_rows:
+            self._filter_insert(self.store.all_hashes())
+        self.tombstones = set(exclude)
+
     def restore(self, table: pa.Table) -> None:
         urls = table.column("url").to_pylist()
+        self.tombstones = set()
         self.cuckoo = CuckooFilter(self.capacity, seed=self.shard_id)
         self.bloom = None
         if self.store is not None:
@@ -179,7 +245,8 @@ class SeenShardCore:
     def stats(self) -> dict:
         st = {
             "shard": self.shard_id,
-            "n": len(self.exact) + (self.store.n_rows if self.store else 0),
+            "n": (len(self.exact) + (self.store.n_rows if self.store else 0)
+                  - len(self.tombstones)),
             "memtable": len(self.exact),
             "filter": "cuckoo" if self.cuckoo is not None else "bloom",
         }
@@ -274,6 +341,29 @@ class SeenSet:
     def dump(self) -> pa.Table:
         tables = ray.get([s.dump.remote() for s in self.shards])
         return pa.concat_tables(tables)
+
+    def checkpoint_to(self, ck_dir: str, version: int) -> list[dict]:
+        """O(delta) segment checkpoint across all shards (requires
+        ``store_dir``); shards link/write in parallel. Returns the
+        per-shard manifests for the job meta."""
+        return ray.get(
+            [s.checkpoint_to.remote(ck_dir, version) for s in self.shards]
+        )
+
+    def restore_from_checkpoint(self, ck_dir: str, manifests: list[dict],
+                                exclude: list[str] | None = None) -> None:
+        groups: list[list[str]] = [[] for _ in range(self.n_shards)]
+        if exclude:
+            hashes = stable_hash64(exclude)
+            for u, s in zip(exclude, hashes % np.uint64(self.n_shards)):
+                groups[int(s)].append(u)
+        ray.get([
+            self.shards[m["shard"]].restore_from_checkpoint.remote(
+                os.path.join(ck_dir, f"shard{m['shard']:03d}"),
+                m["files"], groups[m["shard"]],
+            )
+            for m in manifests
+        ])
 
     def restore(self, table: pa.Table) -> None:
         shard_col = table.column("shard").to_numpy()
