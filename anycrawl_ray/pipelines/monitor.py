@@ -22,8 +22,13 @@ from ..functions.normalize import hash_content, normalize_content
 
 
 def snapshot_changes(group: pd.DataFrame, content_col: str = "props",
-                     time_cols: tuple[str, ...] = ("ts", "event_id")) -> pd.DataFrame:
-    """Pairwise consecutive diffs for one monitored key's snapshots."""
+                     time_cols: tuple[str, ...] = ("ts", "event_id"),
+                     keep_diff_text: bool = False) -> pd.DataFrame:
+    """Pairwise consecutive diffs for one monitored key's snapshots.
+
+    ``keep_diff_text`` additionally carries the unified diff text per row
+    (the judge's input, MonitorPostProcessor.ts:274 diffForJudge) — off by
+    default so the plain diff outputs stay byte-identical and small."""
     g = group.sort_values(list(time_cols))
     contents = g[content_col].tolist()
     rows = []
@@ -36,8 +41,10 @@ def snapshot_changes(group: pd.DataFrame, content_col: str = "props",
         except (ValueError, TypeError):
             cur_json = None
         if prev is None:
-            rows.append({"changed": False, "ratio": 0.0, "change_type": None,
-                         "content_hash": hash_content(norm)})
+            row = {"changed": False, "ratio": 0.0, "change_type": None,
+                   "content_hash": hash_content(norm)}
+            if keep_diff_text:
+                row["diff_text"] = ""
         else:
             td = text_diff(prev, norm)
             ctype = None
@@ -45,8 +52,11 @@ def snapshot_changes(group: pd.DataFrame, content_col: str = "props",
                 ctype = classify_price_change(price_diff(prev_json, cur_json))
             elif td.changed:
                 ctype = "content"
-            rows.append({"changed": td.changed, "ratio": round(td.ratio, 6),
-                         "change_type": ctype, "content_hash": hash_content(norm)})
+            row = {"changed": td.changed, "ratio": round(td.ratio, 6),
+                   "change_type": ctype, "content_hash": hash_content(norm)}
+            if keep_diff_text:
+                row["diff_text"] = td.diff_text if td.changed else ""
+        rows.append(row)
         prev = norm
         prev_json = cur_json
     out = g.reset_index(drop=True)
@@ -80,7 +90,62 @@ def monitor_webhook_events(diff_table, key_col: str = "user_id"):
     return events
 
 
-def monitor_diff_dataset(ds, key_col: str = "user_id", n_parts: int = 32):
+def monitor_judged_dataset(ds, goal: str, key_col: str = "user_id",
+                           n_parts: int = 32, only_meaningful: bool = True,
+                           mode: str = "heuristic", content_col: str = "props"):
+    """Diff -> judge -> (optionally) suppress non-meaningful changes.
+
+    The distributed form of MonitorPostProcessor.ts:271-280: when the
+    monitor carries a ``goal``, every detected change is judged
+    ("is this diff meaningful relative to the goal?") and, with
+    ``only_meaningful`` (reference default: ``only_meaningful !==
+    false``), rejected changes never become change records. The judge
+    verdict rides along as three columns (judged_meaningful,
+    judge_confidence, judge_reason) exactly like the reference's
+    ``judgment`` JSON on monitorChanges rows. Unchanged rows pass
+    through un-judged (the reference judges only when a diff exists).
+
+    Judge stage shape: a vectorized ``map_batches`` over the diff output
+    (the judge is a pure per-row function — no state, no shuffle beyond
+    the diff's own co-partitioned groupby).
+    """
+    import pyarrow as pa
+
+    from ..functions.judge import judge_changes_batch
+
+    diffed = monitor_diff_dataset(ds, key_col=key_col, n_parts=n_parts,
+                                  keep_diff_text=True,
+                                  content_col=content_col)
+
+    def judge_batch(t: pa.Table) -> pa.Table:
+        changed = t.column("changed").to_numpy(zero_copy_only=False)
+        diffs = t.column("diff_text").to_pylist()
+        goals = [goal if ch else "" for ch in changed]
+        m, c, r = judge_changes_batch(goals, diffs, mode=mode)
+        # unchanged rows are never judged: null verdict columns
+        m = [mm if ch else None for mm, ch in zip(m, changed)]
+        c = [cc if ch else None for cc, ch in zip(c, changed)]
+        r = [rr if ch else None for rr, ch in zip(r, changed)]
+        t = t.drop_columns(["diff_text"])
+        t = t.append_column("judged_meaningful", pa.array(m, pa.bool_()))
+        t = t.append_column("judge_confidence", pa.array(c, pa.string()))
+        t = t.append_column("judge_reason", pa.array(r, pa.string()))
+        if only_meaningful:
+            import pyarrow.compute as pc
+
+            keep = pc.or_kleene(
+                pc.invert(pc.fill_null(t.column("changed"), False)),
+                pc.fill_null(t.column("judged_meaningful"), True),
+            )
+            t = t.filter(keep)
+        return t
+
+    return diffed.map_batches(judge_batch, batch_format="pyarrow")
+
+
+def monitor_diff_dataset(ds, key_col: str = "user_id", n_parts: int = 32,
+                         keep_diff_text: bool = False,
+                         content_col: str = "props"):
     """Co-partitioned as-of diffs: keys hash into ``n_parts`` partitions
     (process-stable polars hash), ONE groupby("part") shuffle, and each
     partition task loops its keys locally — P map_groups invocations instead
@@ -99,7 +164,9 @@ def monitor_diff_dataset(ds, key_col: str = "user_id", n_parts: int = 32):
     def part_kernel(t: pa.Table) -> pa.Table:
         df = t.drop_columns(["part"]).to_pandas()
         outs = [
-            snapshot_changes(g) for _, g in df.groupby(key_col, sort=False)
+            snapshot_changes(g, content_col=content_col,
+                             keep_diff_text=keep_diff_text)
+            for _, g in df.groupby(key_col, sort=False)
         ]
         return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
 

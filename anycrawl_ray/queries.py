@@ -3569,6 +3569,40 @@ def q_monitor_diff(sf_dir: str):
     ).sort_by("event_id")
 
 
+def q_monitor_judged(sf_dir: str):
+    """Monitor change judge end-to-end (reference monitor/judge.ts:24-59 +
+    MonitorPostProcessor.ts:271-280): as-of diff per user, every CHANGED
+    snapshot judged against the monitoring goal by the deterministic
+    goal-keyword model, non-meaningful changes suppressed
+    (only_meaningful, the reference default). Rows-only: the verdict
+    consumes the LCS unified diff, which is not SQL-expressible; the
+    judge function itself is pytest-parity-checked (test_monitor_judge)."""
+    from .pipelines.monitor import monitor_judged_dataset
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type", "props"])
+
+    def compose(t: pa.Table) -> pa.Table:
+        # snapshot content = rendered page text (event_type + raw props) —
+        # gives the goal-keyword judge real words to match, like a page body
+        content = pc.binary_join_element_wise(
+            t.column("event_type").cast(pa.string()),
+            t.column("props").cast(pa.string()), " ",
+        )
+        return t.append_column("content", content)
+
+    out = monitor_judged_dataset(
+        ds.map_batches(compose, batch_format="pyarrow"),
+        goal="track purchase and checkout activity",
+        content_col="content", only_meaningful=False,
+    )
+    t = _collect(out)
+    return t.select(
+        ["user_id", "event_id", "changed", "change_type",
+         "judged_meaningful", "judge_confidence"]
+    ).sort_by("event_id")
+
+
 def q_search_scrape(sf_dir: str):
     """J3 end-to-end: SERP fixture -> parse -> scrape fan-out through the
     crawl fetch stage -> merge back by url (includes dead URLs)."""
@@ -3663,6 +3697,7 @@ def build_queries() -> dict[str, Callable]:
         "js_requirement": q_js_requirement,
         "ngram_dedup": q_ngram_dedup,
         "monitor_diff": q_monitor_diff,
+        "monitor_judged": q_monitor_judged,
         "search_scrape": q_search_scrape,
         "crawl_bfs": q_crawl_bfs,
         "crawl_spans": q_crawl_spans,

@@ -164,7 +164,7 @@ ROWS_ONLY = [
     "doc_clusters",
     "crawl_bfs", "crawl_spans",
     "media_features", "serp_parse",
-    "monitor_diff", "search_scrape", "ann_ivf",
+    "monitor_diff", "monitor_judged", "search_scrape", "ann_ivf",
     "embedding_dedup_lsh",
 ]
 
@@ -176,6 +176,17 @@ def test_rows_only(registry, name):
     df = _to_pandas(queries[name](SF_DIR))
     assert len(df.columns) > 0
     assert len(df) > 0, f"{name} returned no rows"
+
+
+def test_mirror_lists_complete(registry):
+    """Every registry entry must be gate-checked here: hash-checked via
+    SQL_CHECKED when it has an oracle, rows-checked via ROWS_ONLY when it
+    does not. An entry in neither list is a silent gate gap."""
+    queries, oracles = registry
+    assert set(SQL_CHECKED) == set(oracles), (
+        set(SQL_CHECKED) ^ set(oracles))
+    assert set(SQL_CHECKED) | set(ROWS_ONLY) == set(queries), (
+        (set(SQL_CHECKED) | set(ROWS_ONLY)) ^ set(queries))
 
 
 def test_entry_smoke(ray_session):
