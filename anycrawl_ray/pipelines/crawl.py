@@ -189,7 +189,17 @@ class _PoolExecutor:
             ] or [0]
         return [self.workers[i] for i in self._ready]
 
-    def dispatch(self, table: pa.Table, round_no: int, mask_ref=None) -> list:
+    def register_job(self, job_id: str, ctx: JobContext) -> None:
+        """Bind a job's context on EVERY worker (one small round trip per
+        worker, once per job) so this pool can serve many concurrent jobs
+        with heterogeneous options — spans/path-filter/format state is
+        selected per dispatched chunk by ``job_id``, never rebuilt per
+        batch. Mirrors the reference's shared BullMQ worker pool serving
+        per-job configs (reference packages/scrape/src/index.ts)."""
+        ray.get([w.register_job.remote(job_id, ctx) for w in self.workers])
+
+    def dispatch(self, table: pa.Table, round_no: int, mask_ref=None,
+                 job_id: str | None = None) -> list:
         """Fan the wave out to the pool; returns result refs. ``mask_ref``
         (ObjectRef[bool mask] from SeenSet.check_and_add_async) is passed as
         a task arg, so Ray resolves it worker-side — the seen round trip
@@ -206,7 +216,7 @@ class _PoolExecutor:
         return [
             workers[i % len(workers)].fetch.remote(
                 table.slice(bounds[i], bounds[i + 1] - bounds[i]), round_no, i,
-                mask_ref,
+                mask_ref, job_id,
             )
             for i in range(k)
             if bounds[i + 1] > bounds[i]
@@ -217,8 +227,9 @@ class _PoolExecutor:
             return pa.Table.from_pylist([], FETCH_META_SCHEMA)
         return pa.concat_tables(ray.get(refs)).sort_by("discovery_seq")
 
-    def fetch(self, table: pa.Table, round_no: int) -> pa.Table:
-        return self.collect(self.dispatch(table, round_no))
+    def fetch(self, table: pa.Table, round_no: int,
+              job_id: str | None = None) -> pa.Table:
+        return self.collect(self.dispatch(table, round_no, job_id=job_id))
 
     def shutdown(self) -> None:
         for w in self.workers:
@@ -239,7 +250,9 @@ class _DatasetExecutor:
         self.batch_size = batch_size
         self.ctx = ctx
 
-    def fetch(self, table: pa.Table, round_no: int) -> pa.Table:
+    def fetch(self, table: pa.Table, round_no: int,
+              job_id: str | None = None) -> pa.Table:
+        # job_id unused: per-round actors are constructed WITH this job's ctx
         import dataclasses
 
         if table.num_rows == 0:
@@ -476,6 +489,13 @@ def run_crawl(
             if use_pool
             else _DatasetExecutor(corpus_ref, n_workers, cfg.dataset_batch_size, ctx)
         )
+        job_key = None  # owned pool already carries THIS job's ctx as default
+    else:
+        # shared pool: bind this job's ctx under its job_id so concurrent
+        # jobs with different options/spans dirs stay isolated per chunk
+        job_key = cfg.job_id if hasattr(executor, "register_job") else None
+        if job_key is not None:
+            executor.register_job(job_key, ctx)
 
     import time as _time
 
@@ -524,7 +544,8 @@ def run_crawl(
                     }
                 )
                 _t = _tick("seen_add", _t)
-                refs = executor.dispatch(wave_table, round_no, mask_ref)
+                refs = executor.dispatch(wave_table, round_no, mask_ref,
+                                         job_id=job_key)
                 newly = ray.get(mask_ref)
                 mirror.add_new(wave_urls, newly)
                 results = executor.collect(refs)  # sorted by wave pos
@@ -541,7 +562,7 @@ def run_crawl(
                     }
                 )
                 _t = _tick("seen_add", _t)
-                results = executor.fetch(wave_table, round_no)  # sorted by wave pos
+                results = executor.fetch(wave_table, round_no, job_key)  # sorted by wave pos
                 _t = _tick("fetch", _t)
 
             # counters + crawl order, wave order (coordinator :81-85)
@@ -674,6 +695,11 @@ def run_crawl_relaxed(
     owns_executor = executor is None
     if owns_executor:
         executor = _PoolExecutor(corpus_ref, cfg.n_fetch_workers, ctx)
+        job_key = None  # owned pool already carries THIS job's ctx as default
+    else:
+        job_key = cfg.job_id if hasattr(executor, "register_job") else None
+        if job_key is not None:
+            executor.register_job(job_key, ctx)
 
     mirror = _VisitedMirror(cfg.visited_mirror_cap)
     chunk_size = max(_PoolExecutor.MIN_CHUNK, cfg.dataset_batch_size)
@@ -736,7 +762,7 @@ def run_crawl_relaxed(
         # span dir keyed by DISPATCH counter (out.rounds mutates on
         # completion, which races chunk dispatch); part id unique per chunk
         n_chunks += 1
-        ref = w.fetch.remote(table, n_chunks, dispatched)
+        ref = w.fetch.remote(table, n_chunks, dispatched, None, job_key)
         in_flight[ref] = (n_chunks, [rows[i] for i in idx])  # checkpoint exactness
         dispatched += table.num_rows
         return True
@@ -755,6 +781,16 @@ def run_crawl_relaxed(
         out.completed += n_ok
         out.failed += nrows - n_ok
         out.total_bytes += int(results.column("bytes").to_numpy().sum())
+        # per-chunk skew lineage (same shape as conformance rounds): top host
+        # + its share of this completed chunk — the signal the polite bench
+        # reads to show hot-host pressure vs token-bucket pacing
+        vc = pc.value_counts(results.column("host"))
+        vcounts = vc.field("counts").to_numpy()
+        top = int(np.argmax(vcounts))
+        out.host_stats.append(
+            (out.rounds, vc.field("values")[top].as_py(), int(vcounts[top]),
+             round(float(vcounts[top]) / nrows, 4))
+        )
         cand_arr, cand_depths, n_links_total = _flatten_eligible_links(
             results, ok_np, depth_np, opts.max_depth
         )

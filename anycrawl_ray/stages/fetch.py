@@ -278,6 +278,28 @@ def full_fetch_table(meta: pa.Table, spans_table: pa.Table) -> pa.Table:
     )
 
 
+class _JobBundle:
+    """Per-job derived worker state (path matchers, span-step callables,
+    format agent), built ONCE per (worker, job) so a long-lived pool can
+    serve many CONCURRENT jobs with heterogeneous options — the reference's
+    BullMQ workers pull jobs with per-job configs from one shared queue
+    (reference packages/scrape/src/index.ts worker concurrency;
+    EngineConfigurator.ts per-job engine options)."""
+
+    __slots__ = ("ctx", "matcher", "scrape_matcher", "span_step_fns", "llm")
+
+    def __init__(self, ctx: JobContext):
+        self.ctx = ctx
+        self.matcher = PathMatcher(list(ctx.include_paths), list(ctx.exclude_paths))
+        self.scrape_matcher = PathMatcher(list(ctx.scrape_paths), [])
+        self.span_step_fns = [s.make_callable() for s in ctx.span_steps]
+        self.llm = None
+        if "json" in ctx.formats or "summary" in ctx.formats:
+            from ..functions.agents import LLMAgentStub
+
+            self.llm = LLMAgentStub(mode="deterministic")  # once per actor
+
+
 class _WorkerCore:
     """Shared per-actor state + batch logic for both executor flavors."""
 
@@ -302,22 +324,26 @@ class _WorkerCore:
         self.idx = CorpusIndex(
             corpus_ref if isinstance(corpus_ref, pa.Table) else ray.get(corpus_ref)
         )
-        self.ctx = ctx or JobContext(filter_links=False)
-        self.matcher = PathMatcher(
-            list(self.ctx.include_paths), list(self.ctx.exclude_paths)
-        )
-        self._scrape_matcher = PathMatcher(list(self.ctx.scrape_paths), [])
-        self._span_step_fns = [s.make_callable() for s in self.ctx.span_steps]
-        self._llm = None
-        if "json" in self.ctx.formats or "summary" in self.ctx.formats:
-            from ..functions.agents import LLMAgentStub
+        self._default = _JobBundle(ctx or JobContext(filter_links=False))
+        self._jobs: dict[str, _JobBundle] = {}
+        # legacy aliases (FetchParseActor round_no; tests poke these)
+        self.ctx = self._default.ctx
+        self.matcher = self._default.matcher
 
-            self._llm = LLMAgentStub(mode="deterministic")  # once per actor
+    def register_job(self, job_id: str, ctx: JobContext) -> bool:
+        """Bind ``job_id`` to its own context on this worker. Derived state
+        (matchers, step callables, agent) is built here once, not per batch;
+        subsequent ``process(..., job_id=...)`` calls select it. Idempotent
+        re-registration replaces the bundle (a restarted driver job may
+        re-register with identical ctx)."""
+        self._jobs[job_id] = _JobBundle(ctx)
+        return True
 
     def process(
         self, batch: pa.Table, round_no: int = 0, part_id: int = 0,
-        newly_mask: np.ndarray | None = None,
+        newly_mask: np.ndarray | None = None, job_id: str | None = None,
     ) -> pa.Table:
+        b = (self._jobs.get(job_id) or self._default) if job_id else self._default
         # speculative-dispatch support: the driver sends the wave BEFORE the
         # seen-set round trip resolves and passes the mask (indexed by wave
         # position == discovery_seq) as an ObjectRef that Ray resolves right
@@ -331,22 +357,22 @@ class _WorkerCore:
                 batch = batch.filter(pa.array(keep))
             if batch.num_rows == 0:
                 return pa.Table.from_pylist([], FETCH_META_SCHEMA)
-        meta, spans_table = fetch_parse_batch(batch, self.idx, self.ctx, self.matcher)
-        if self._llm is not None and spans_table.num_rows:
+        meta, spans_table = fetch_parse_batch(batch, self.idx, b.ctx, b.matcher)
+        if b.llm is not None and spans_table.num_rows:
             spans_table = append_format_spans(
-                spans_table, self.ctx.formats, self._llm,
-                list(self.ctx.json_schema_keys),
+                spans_table, b.ctx.formats, b.llm,
+                list(b.ctx.json_schema_keys),
             )
-        if self.ctx.spans_dir and spans_table.num_rows:
-            if self.ctx.scrape_paths:  # M12 content gate
-                keep = self._scrape_matcher.match_many(
+        if b.ctx.spans_dir and spans_table.num_rows:
+            if b.ctx.scrape_paths:  # M12 content gate
+                keep = b.scrape_matcher.match_many(
                     spans_table.column("url").to_pylist()
                 )
                 spans_table = spans_table.filter(pa.array(keep))
-            for fn in self._span_step_fns:  # §2.10 registered span steps
+            for fn in b.span_step_fns:  # §2.10 registered span steps
                 spans_table = fn(spans_table)
             if spans_table.num_rows:
-                d = os.path.join(self.ctx.spans_dir, f"round={round_no:05d}")
+                d = os.path.join(b.ctx.spans_dir, f"round={round_no:05d}")
                 os.makedirs(d, exist_ok=True)
                 pq.write_table(
                     spans_table,
@@ -382,9 +408,9 @@ class FetchWorker(_WorkerCore):
 
     def fetch(
         self, batch: pa.Table, round_no: int = 0, part_id: int = 0,
-        newly_mask: np.ndarray | None = None,
+        newly_mask: np.ndarray | None = None, job_id: str | None = None,
     ) -> pa.Table:
-        return self.process(batch, round_no, part_id, newly_mask)
+        return self.process(batch, round_no, part_id, newly_mask, job_id)
 
     def ping(self, touch: bool = False) -> bool:
         if touch:

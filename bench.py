@@ -29,6 +29,12 @@ BENCH_WAVE = int(os.environ.get("GRAFT_BENCH_WAVE", "16384"))
 # Per-page fetch/render CPU model (sha256 chain; see stages/fetch.JobContext):
 # stands in for the browser-engine render cost the reference pays per page.
 RENDER_ITERS = int(os.environ.get("GRAFT_RENDER_ITERS", "1536"))
+# crawl_polite: per-host token-bucket cap (pages/sec/host). The bench corpus
+# is zipf-skewed (hot host = 40% of pages), so the cap genuinely binds on the
+# hot host: 24k hot pages / 2500 ≈ 9.6 s floor ~ the uncapped wall — politeness
+# actively paces without making the bench minutes long.
+POLITE_CAP = float(os.environ.get("GRAFT_POLITE_CAP", "2500"))
+MULTI_JOBS = int(os.environ.get("GRAFT_MULTI_JOBS", "4"))
 
 
 def _set_data_logging_config() -> None:
@@ -83,7 +89,7 @@ def _init_ray(num_cpus: int):
 
 
 def bench_crawl(num_cpus: int, mode: str = "conformance",
-                checkpointed: bool = False) -> dict:
+                checkpointed: bool = False, polite: bool = False) -> dict:
     """Headline: full crawl of the bench corpus (fetch+parse+frontier+seen).
 
     ``mode``: "conformance" (reference wave order, per-round barrier) or
@@ -124,7 +130,8 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
     n_workers = max(2, num_cpus - 2)
     seed = "http://h00.example.test/p/0000"
     opts = CrawlOptions(limit=BENCH_LIMIT, strategy="all", wave_size=BENCH_WAVE,
-                        max_depth=50)
+                        max_depth=50,
+                        per_host_cap=(POLITE_CAP if polite else 0))
     scratch = tempfile.mkdtemp(prefix="anycrawl_bench_")
 
     def run_cfg(jid: str) -> CrawlRunConfig:
@@ -136,6 +143,7 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
             seen_store_dir=(os.path.join(scratch, jid, "seen") if checkpointed else None),
             seen_memtable_cap=(8192 if checkpointed else 1 << 20),
             render_iters=RENDER_ITERS, dataset_batch_size=512,
+            politeness=("actors" if polite else "driver"),
         )
 
     runner = run_crawl_relaxed if mode == "relaxed" else run_crawl
@@ -163,7 +171,7 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
         shutil.rmtree(scratch, ignore_errors=True)
     dt, out = best
     pages = out.completed + out.failed
-    return {
+    res = {
         "sec": dt,
         "pages": pages,
         "pages_per_sec": pages / dt,
@@ -175,6 +183,107 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
         "order_rows_persisted": out.order_rows_persisted,
         "order_driver_tail": len(out.order),
         "order_segments": out.order_segments,
+    }
+    if polite:
+        # host-skew lineage (VERDICT r3 next #7): host_stats rows are
+        # (chunk, top_host, top_count, share). Attribute the modal top host's
+        # counted pages to wall time — with the token bucket active this
+        # effective rate must sit at/below the cap (+ the initial burst).
+        from collections import Counter
+
+        tops = Counter(h for _, h, _, _ in out.host_stats)
+        hot = tops.most_common(1)[0][0] if tops else ""
+        hot_pages = sum(c for _, h, c, _ in out.host_stats if h == hot)
+        res["hot_host"] = hot
+        res["hot_host_pages_counted"] = hot_pages
+        res["hot_host_rate_per_sec"] = round(hot_pages / dt, 1)
+        res["per_host_cap"] = POLITE_CAP
+        res["hot_host_max_chunk_share"] = max(
+            (s for *_, s in out.host_stats), default=0.0)
+    return res
+
+
+def bench_multi_job(num_cpus: int, n_jobs: int = MULTI_JOBS) -> dict:
+    """K concurrent crawl jobs sharing ONE persistent fetch-worker pool
+    (VERDICT r3 next #8) — the reference's shared BullMQ worker pool serving
+    many jobs at once. Each job registers its JobContext on the pool under
+    its job_id (per-chunk ctx selection worker-side); seen-sets/frontiers
+    are per-job. Reports aggregate pages/s across the K jobs vs a single
+    job of the same TOTAL size on the same warm pool; the bar is
+    aggregate >= 0.8x single."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.corpus import CorpusConfig, corpus_path
+    from anycrawl_ray.pipelines.crawl import (
+        CrawlRunConfig,
+        build_fetch_pool,
+        make_job_context,
+        run_crawl_relaxed,
+    )
+    from anycrawl_ray.refmodel import CrawlOptions
+
+    cfg = CorpusConfig(n_hosts=64, n_pages=BENCH_PAGES, mean_links=8, span_chars=800)
+    corpus_ref = ray.put(pq.read_table(corpus_path(SF_DIR, cfg)))
+    n_workers = max(2, num_cpus - 2)
+    seed = "http://h00.example.test/p/0000"
+    scratch = tempfile.mkdtemp(prefix="anycrawl_multijob_")
+
+    def job_cfg(jid: str) -> CrawlRunConfig:
+        return CrawlRunConfig(
+            job_id=jid, n_fetch_workers=n_workers, n_seen_shards=2,
+            executor="pool", spans_out_dir=os.path.join(scratch, jid, "spans"),
+            render_iters=RENDER_ITERS, dataset_batch_size=512,
+        )
+
+    def opts_for(limit: int) -> CrawlOptions:
+        return CrawlOptions(limit=limit, strategy="all",
+                            wave_size=BENCH_WAVE, max_depth=50)
+
+    pool = build_fetch_pool(
+        corpus_ref, n_workers,
+        make_job_context(seed, opts_for(1), job_cfg("pool-default")))
+    try:
+        # warm-up (worker cold start + corpus page faults), then the single-
+        # job reference on the SAME warm pool, then the concurrent fan-out
+        run_crawl_relaxed(seed, opts_for(2000), corpus_ref, job_cfg("warmup"),
+                          executor=pool)
+        t0 = time.perf_counter()
+        single = run_crawl_relaxed(seed, opts_for(BENCH_LIMIT), corpus_ref,
+                                   job_cfg("single"), executor=pool)
+        dt_single = time.perf_counter() - t0
+        per_job = BENCH_LIMIT // n_jobs
+
+        def one(i: int):
+            return run_crawl_relaxed(seed, opts_for(per_job), corpus_ref,
+                                     job_cfg(f"mj{i}"), executor=pool)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_jobs) as tp:
+            outs = list(tp.map(one, range(n_jobs)))
+        dt_multi = time.perf_counter() - t0
+    finally:
+        pool.shutdown()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    single_pages = single.completed + single.failed
+    multi_pages = sum(o.completed + o.failed for o in outs)
+    single_pps = single_pages / dt_single
+    multi_pps = multi_pages / dt_multi
+    return {
+        "sec": dt_multi,
+        "n_jobs": n_jobs,
+        "pages_per_job": per_job,
+        "pages": multi_pages,
+        "pages_per_sec": multi_pps,
+        "single_job_sec": dt_single,
+        "single_job_pages_per_sec": single_pps,
+        "aggregate_vs_single": round(multi_pps / single_pps, 3),
     }
 
 
@@ -222,11 +331,18 @@ def run_once(num_cpus: int, crawl_only: bool = False) -> dict:
     crawl = bench_crawl(num_cpus)
     relaxed = bench_crawl(num_cpus, mode="relaxed")
     ckpt = None if crawl_only else bench_crawl(num_cpus, checkpointed=True)
+    polite = None if crawl_only else bench_crawl(num_cpus, mode="relaxed",
+                                                 polite=True)
+    multijob = None if crawl_only else bench_multi_job(num_cpus)
     queries = {} if crawl_only else bench_queries()
     queries["crawl"] = round(crawl["sec"], 3)
     queries["crawl_relaxed"] = round(relaxed["sec"], 3)
     if ckpt is not None:
         queries["crawl_checkpointed"] = round(ckpt["sec"], 3)
+    if polite is not None:
+        queries["crawl_polite"] = round(polite["sec"], 3)
+    if multijob is not None:
+        queries["crawl_multijob"] = round(multijob["sec"], 3)
     total = sum(queries.values())
     result = {
         "metric": "total_sec",
@@ -250,6 +366,22 @@ def run_once(num_cpus: int, crawl_only: bool = False) -> dict:
             "rows_persisted": ckpt["order_rows_persisted"],
             "driver_tail": ckpt["order_driver_tail"],
             "segments": ckpt["order_segments"],
+        }
+    if polite is not None:
+        result["crawl_polite_pages_per_sec"] = round(polite["pages_per_sec"], 1)
+        result["crawl_polite_hot_host"] = {
+            "host": polite["hot_host"],
+            "cap_per_sec": polite["per_host_cap"],
+            "effective_rate_per_sec": polite["hot_host_rate_per_sec"],
+            "max_chunk_share": polite["hot_host_max_chunk_share"],
+        }
+    if multijob is not None:
+        result["crawl_multijob"] = {
+            "n_jobs": multijob["n_jobs"],
+            "aggregate_pages_per_sec": round(multijob["pages_per_sec"], 1),
+            "single_job_pages_per_sec": round(
+                multijob["single_job_pages_per_sec"], 1),
+            "aggregate_vs_single": multijob["aggregate_vs_single"],
         }
     ray.shutdown()
     return result
