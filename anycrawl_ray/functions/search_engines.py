@@ -5,10 +5,12 @@ Re-implements the reference's SearchEngine interface and engine selection:
 - ``SearchEngine`` protocol: build_task -> {url, headers, cookies,
   require_proxy}, parse(payload) -> result dicts, supports_direct_limit
   (packages/search/src/engines/types.ts:52-81)
-- Google engine: HTML parser (functions/serp.py) + search-URL subset
-  (q / start / hl; the region/subdomain tables of Google.ts:72-140 are
-  config data, not logic — documented simplification), requireProxy=true
-  (Google.ts:183-189)
+- Google engine: HTML parser (functions/serp.py) + full search-URL builder
+  with the locale/region/subdomain config tables (google_locale.py,
+  transcribed from packages/libs/src/data/Google.ts) and the skip-country /
+  fallback-region resolution of Google.ts:77-146; requireProxy=true
+  (Google.ts:183-189). Only the randomized anti-bot ``async``/``asearch``
+  params are omitted (Math.random-driven — nondeterministic by design).
 - SearXNG engine: JSON response parser with web/images/news categories,
   resolution "WxH" parsing, ``SearXNG ({engine})`` source naming,
   no-URL skip; search URL with q/format=json/pageno/language/categories/
@@ -36,18 +38,72 @@ _RESOLUTION_RE = re.compile(r"(\d+)\s*[×x]\s*(\d+)")
 
 
 class GoogleSearchEngine:
+    """Google engine: full locale/region resolution (Google.ts:77-146 over
+    the config tables in google_locale.py) + HTML parse (functions/serp.py).
+
+    Locale semantics mirrored exactly: lang -> lr code via LANGUAGES
+    (default lang_en); country resolution prefers the explicit
+    ``lang-country`` locale unless the country is skip-listed, else the
+    first non-skipped region for the lang, else US; the resolved country
+    picks the ccTLD subdomain (SUPPORTED_DOMAINS) and the cr/hl params.
+    time-range -> tbs=qdr:X and safe-search 0/1/2 -> off/medium/high maps
+    (Google.ts:20-32); per-page num clamps to [1,100] (Google.ts:130-134)."""
+
     name = "google"
     supports_direct_limit = False
 
+    _TIME_RANGE = {"day": "d", "week": "w", "month": "m", "year": "y"}
+    _SAFE = {0: "off", 1: "medium", 2: "high"}
+
+    @staticmethod
+    def _resolve_locale(lang: str | None, country: str | None) -> tuple[str, str, str]:
+        """-> (eng_lang 'lang_xx', lang_code, country code)."""
+        from .google_locale import LANGUAGES, REGIONS, SKIP_COUNTRIES
+
+        eng_lang = LANGUAGES.get(lang or "", "en")
+        lang_code = eng_lang.split("_", 1)[1] if "_" in eng_lang else eng_lang
+        resolved = None
+        if lang and country and country not in SKIP_COUNTRIES:
+            resolved = REGIONS.get(f"{lang}-{country}")
+        if not resolved and lang:
+            for key, cc in REGIONS.items():
+                if key.startswith(f"{lang}-") and cc.upper() not in SKIP_COUNTRIES:
+                    resolved = cc
+                    break
+        return eng_lang, lang_code, resolved or "US"
+
     def build_task(self, options: dict) -> dict:
+        from .google_locale import SUPPORTED_DOMAINS
+
         page = options.get("page", 1)
-        params = {"q": options["query"], "start": str((page - 1) * 10)}
-        if options.get("lang"):
-            params["hl"] = options["lang"]
+        limit = options.get("limit")
+        per_page = min(max(int(limit), 1), 100) if isinstance(limit, int) and limit > 0 else 10
+        start = options.get("offset", 0) + (page - 1) * per_page
+        eng_lang, lang_code, country = self._resolve_locale(
+            options.get("lang"), options.get("country"))
+        subdomain = SUPPORTED_DOMAINS.get(country.upper(), "www.google.com")
+        params = [
+            ("q", options["query"]),
+            ("start", str(start)),
+            ("hl", f"{lang_code}-{country}"),
+            ("lr", eng_lang),
+            ("cr", f"country{country}"),
+            ("ie", "utf8"),
+            ("oe", "utf8"),
+            ("filter", "0"),
+        ]
+        if isinstance(limit, int) and limit > 0:
+            params.append(("num", str(per_page)))
+        tr = self._TIME_RANGE.get(options.get("timeRange") or "")
+        if tr:
+            params.append(("tbs", f"qdr:{tr}"))
+        if options.get("safe_search") is not None:
+            params.append(
+                ("safe", self._SAFE.get(options["safe_search"], "medium")))
         return {
-            "url": f"https://www.google.com/search?{urlencode(params)}",
-            "headers": {"Accept": "text/html"},
-            "cookies": {"CONSENT": "PENDING+987"},
+            "url": f"https://{subdomain}/search?{urlencode(params)}",
+            "headers": {"Accept": "*/*"},
+            "cookies": {"CONSENT": "YES+"},
             "require_proxy": True,
         }
 

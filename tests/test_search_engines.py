@@ -169,3 +169,40 @@ def test_ac_engine_url_and_parse():
     # unavailable without URL
     reg2 = SearchEngineRegistry(default_engine="ac-engine")
     assert reg2.resolve_engine_name(None) == "google"
+
+
+def test_google_locale_resolution():
+    """Mirror of Google.ts:77-146 semantics over the config tables."""
+    g = GoogleSearchEngine()
+    # explicit lang+country picks the locale's region and its ccTLD
+    t = g.build_task({"query": "x", "lang": "de", "country": "AT"})
+    assert "www.google.at/search" in t["url"]
+    assert "hl=de-AT" in t["url"] and "lr=lang_de" in t["url"]
+    assert "cr=countryAT" in t["url"]
+    # skip-listed country falls back to the first non-skipped region for
+    # the lang (ms -> MY is skip-listed; no other ms-* region exists -> US)
+    t = g.build_task({"query": "x", "lang": "ms", "country": "MY"})
+    assert "countryMY" not in t["url"]
+    # lang only: first non-skipped region for that lang
+    t = g.build_task({"query": "x", "lang": "fr"})
+    assert "lr=lang_fr" in t["url"] and "cr=country" in t["url"]
+    # zh maps to lang_zh-CN (underscore split yields code zh-CN)
+    t = g.build_task({"query": "x", "lang": "zh", "country": "CN"})
+    assert "lr=lang_zh-CN" in t["url"]
+    # CN's "supported domain" is intentionally www.google.com.hk in the table
+    assert "www.google.com.hk/search" in t["url"]
+    # no lang/country: US default, www.google.com
+    t = g.build_task({"query": "x"})
+    assert "www.google.com/search" in t["url"] and "hl=en-US" in t["url"]
+
+
+def test_google_limit_timerange_safe():
+    g = GoogleSearchEngine()
+    # per-page limit clamps to [1,100]; start = offset + (page-1)*per_page
+    t = g.build_task({"query": "x", "limit": 250, "page": 2, "offset": 5})
+    assert "num=100" in t["url"] and "start=105" in t["url"]
+    t = g.build_task({"query": "x", "timeRange": "week", "safe_search": 2})
+    assert "tbs=qdr%3Aw" in t["url"] and "safe=high" in t["url"]
+    # unknown safe_search value degrades to medium (Google.ts:142-144)
+    t = g.build_task({"query": "x", "safe_search": 9})
+    assert "safe=medium" in t["url"]
