@@ -441,8 +441,10 @@ def run_crawl(
 ) -> CrawlOutput:
     """Execute one crawl job (reference: one ``runAutoCrawl`` invocation).
 
-    ``executor``: optionally a pre-built pool from :func:`build_fetch_pool`
-    (must match this job's JobContext); it is NOT shut down on return.
+    ``executor``: optionally a pre-built pool from :func:`build_fetch_pool`;
+    it is NOT shut down on return. This job's JobContext is registered on
+    the pool under ``cfg.job_id``, so one pool may serve many sequential or
+    CONCURRENT jobs with different options (give each a distinct job_id).
     """
     cfg = _resolve_stream_order(cfg)
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)

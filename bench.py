@@ -89,7 +89,9 @@ def _init_ray(num_cpus: int):
 
 
 def bench_crawl(num_cpus: int, mode: str = "conformance",
-                checkpointed: bool = False, polite: bool = False) -> dict:
+                checkpointed: bool = False, polite: bool = False,
+                pages: int | None = None, limit: int | None = None,
+                reps: int = 2) -> dict:
     """Headline: full crawl of the bench corpus (fetch+parse+frontier+seen).
 
     ``mode``: "conformance" (reference wave order, per-round barrier) or
@@ -122,14 +124,16 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
 
     import pyarrow.parquet as pq
 
-    cfg = CorpusConfig(n_hosts=64, n_pages=BENCH_PAGES, mean_links=8, span_chars=800)
+    pages = BENCH_PAGES if pages is None else pages
+    limit = BENCH_LIMIT if limit is None else limit
+    cfg = CorpusConfig(n_hosts=64, n_pages=pages, mean_links=8, span_chars=800)
     path = corpus_path(SF_DIR, cfg)  # generated once, reused across runs
     corpus = pq.read_table(path)
     corpus_ref = ray.put(corpus)
 
     n_workers = max(2, num_cpus - 2)
     seed = "http://h00.example.test/p/0000"
-    opts = CrawlOptions(limit=BENCH_LIMIT, strategy="all", wave_size=BENCH_WAVE,
+    opts = CrawlOptions(limit=limit, strategy="all", wave_size=BENCH_WAVE,
                         max_depth=50,
                         per_host_cap=(POLITE_CAP if polite else 0))
     scratch = tempfile.mkdtemp(prefix="anycrawl_bench_")
@@ -160,7 +164,7 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
         # best-of-2 timed runs: this VM shows heavy host noise; min is the
         # standard estimator for throughput on noisy machines
         best = None
-        for rep in range(2):
+        for rep in range(reps):
             t0 = time.perf_counter()
             out = runner(seed, opts, corpus_ref, run_cfg(f"bench{rep}"), executor=pool)
             dt_rep = time.perf_counter() - t0
@@ -473,6 +477,79 @@ def run_scaling() -> dict:
     }
 
 
+HEADROOM_ENTRIES = [
+    # dedup family + the heaviest analytics entries (VERDICT r3 next #6)
+    "dedup_exact", "minhash_dedup", "simhash_dedup",
+    "corpus_build", "containment_pairs", "bigjoin_priority",
+    "heavy_hitters", "tfidf_topk",
+]
+
+
+def run_headroom(mult: int = 10) -> dict:
+    """10× scale headroom: the same entries at sf0.1 and at a deterministic
+    ``mult``× synthetic directory (scalegen.py), reporting per-row cost at
+    both scales and the growth ratio. A ratio near 1.0 means linear scaling
+    (the per-row cost is flat); >1.5 flags a design that would degrade at
+    cluster scale. The crawl headroom is covered separately by --scaling
+    (same job, two parallelism levels)."""
+    import ray
+
+    from anycrawl_ray import queries as q
+    from anycrawl_ray.scalegen import generate_scaled_dir
+
+    big_dir = generate_scaled_dir(
+        os.environ.get("GRAFT_HEADROOM_DIR", "/tmp/graft_sf1"), mult=mult)
+    _init_ray(NUM_CPUS)
+    registry = q.build_queries()
+    # warm the Ray worker pool once so the first entry doesn't absorb
+    # cold-start (memory: first call in a fresh session costs ~4-7 s)
+    registry["length_stats"](SF_DIR)
+
+    def rows_of(res) -> int:
+        return res.num_rows if hasattr(res, "num_rows") else len(res)
+
+    out: dict[str, dict] = {}
+    for name in HEADROOM_ENTRIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        dt_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(big_dir)
+        dt_big = time.perf_counter() - t0
+        # per-row cost over the entry's INPUT rows: both dirs share the
+        # documents/lineitem shape, so input rows scale exactly by mult
+        ratio = (dt_big / mult) / dt_small
+        out[name] = {
+            "sec_sf0.1": round(dt_small, 3),
+            f"sec_{mult}x": round(dt_big, 3),
+            "per_row_cost_ratio": round(ratio, 3),
+        }
+    # crawl headroom: same pipeline at 10× corpus/limit, single timed rep
+    # (the 500k-page run is its own warm steady state; best-of-2 would double
+    # a 2-minute leg for noise the per-page ratio already absorbs)
+    small = bench_crawl(NUM_CPUS, mode="relaxed", reps=1)
+    big = bench_crawl(NUM_CPUS, mode="relaxed", reps=1,
+                      pages=BENCH_PAGES * mult, limit=BENCH_LIMIT * mult)
+    out["crawl_relaxed"] = {
+        "sec_sf0.1": round(small["sec"], 3),
+        f"sec_{mult}x": round(big["sec"], 3),
+        "pages_per_sec_small": round(small["pages_per_sec"], 1),
+        f"pages_per_sec_{mult}x": round(big["pages_per_sec"], 1),
+        "per_row_cost_ratio": round(
+            small["pages_per_sec"] / big["pages_per_sec"], 3),
+    }
+    ray.shutdown()
+    flagged = {k: v for k, v in out.items() if v["per_row_cost_ratio"] > 1.5}
+    return {
+        "metric": "headroom",
+        "mult": mult,
+        "num_cpus": NUM_CPUS,
+        "entries": out,
+        "flagged_over_1_5x": sorted(flagged),
+    }
+
+
 def run_stats() -> None:
     """Per-stage Ray Data stats for representative pipelines (the
     measure-don't-guess loop: wall time should sit in useful compute, not in
@@ -514,5 +591,7 @@ if __name__ == "__main__":
         print(json.dumps(run_once(n, crawl_only=True)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--headroom" in sys.argv:
+        print(json.dumps(run_headroom()))
     else:
         print(json.dumps(run_once(NUM_CPUS)))
