@@ -205,6 +205,47 @@ class CorpusIndex:
             if isinstance(self.spans_col, pa.ChunkedArray) and self.spans_col.num_chunks
             else pa.array([], self.spans_col.type.value_type)
         )
+        # chunk-boundary table for take_spans (row id -> (chunk, local) map)
+        if isinstance(self.spans_col, pa.ChunkedArray):
+            self._chunk_starts = np.concatenate(
+                [[0], np.cumsum([len(c) for c in self.spans_col.chunks])]
+            ).astype(np.int64)
+        else:
+            self._chunk_starts = np.array([0, len(self.spans_col)], np.int64)
+
+    def take_spans(self, row_ids: np.ndarray) -> pa.ListArray:
+        """Gather span lists for global row ids, input order — O(batch).
+
+        NEVER ``ChunkedArray.take`` on a multi-chunk column: pyarrow
+        resolves that by concatenating chunks internally, which for this
+        list<struct<..strings..>> column measured ~1800× slower than a
+        single-chunk gather (1.8 s vs 1 ms for 512 rows on the 600k-page
+        corpus — the 10× headroom run exposed it). Instead: map row ids to
+        (chunk, local) with one searchsorted, gather within each touched
+        chunk, then restore input order with one take on the batch-sized
+        result."""
+        col = self.spans_col
+        if not isinstance(col, pa.ChunkedArray):
+            return col.take(pa.array(row_ids, pa.int64()))
+        if col.num_chunks <= 1:
+            chunk = col.chunk(0) if col.num_chunks else None
+            if chunk is None:
+                return pa.ListArray.from_arrays(
+                    pa.array([0] * (len(row_ids) + 1), pa.int32()),
+                    self._span_struct)
+            return chunk.take(pa.array(row_ids, pa.int64()))
+        ci = np.searchsorted(self._chunk_starts, row_ids, side="right") - 1
+        parts: list[pa.Array] = []
+        order = np.empty(len(row_ids), np.int64)
+        n = 0
+        for c in np.unique(ci):
+            sel = np.flatnonzero(ci == c)
+            local = row_ids[sel] - self._chunk_starts[c]
+            parts.append(col.chunk(int(c)).take(pa.array(local, pa.int64())))
+            order[sel] = np.arange(n, n + len(sel))
+            n += len(sel)
+        gathered = pa.concat_arrays(parts)  # batch-sized, cheap
+        return gathered.take(pa.array(order, pa.int64()))
 
     def lookup_batch(self, keys: list[str]) -> np.ndarray:
         """Row index per key, -1 for misses (vectorized searchsorted)."""

@@ -277,46 +277,37 @@ class _DatasetExecutor:
 
 class _VisitedMirror:
     """Driver-side exact visited mirror shared by both crawl modes: a Python
-    set (membership updates + shard-fallback bookkeeping) twinned with a
-    polars Utf8 Series for VECTORIZED probes (pl.Series.is_in — exact string
-    equality in one Rust pass instead of ~1M per-link Python set probes per
-    bench crawl). Flips incomplete at ``cap``, after which the seen-set
-    shards are the contains() authority."""
+    set — O(1) membership per candidate at ANY visited size. (An earlier
+    polars-Series variant probed via ``is_in(series.implode())``, which
+    rebuilds an O(visited) hash per chunk: invisible at 50k pages, but the
+    dominant driver term at the 500k-page headroom run — per-chunk work must
+    never scale with total visited state.) Flips incomplete at ``cap``,
+    after which the seen-set shards are the contains() authority."""
 
     def __init__(self, cap: int):
-        import polars as pl
-
-        self._pl = pl
         self.cap = cap
         self.set: set[str] = set()
-        self.series = pl.Series("u", [], dtype=pl.Utf8)
         self.complete = True
 
     def restore(self, urls: list[str]) -> None:
         self.set.update(urls)
-        self.series.extend(self._pl.Series("u", urls, dtype=self._pl.Utf8))
 
     def add_new(self, urls: list[str], newly_mask) -> None:
         if not self.complete:
             return
-        new_urls = [u for u, is_new in zip(urls, newly_mask) if is_new]
-        self.set.update(new_urls)
+        self.set.update(u for u, is_new in zip(urls, newly_mask) if is_new)
         if len(self.set) > self.cap:
             self.complete = False  # overflow: shards take over contains()
             self.set.clear()
-        elif new_urls:
-            self.series.extend(self._pl.Series("u", new_urls, dtype=self._pl.Utf8))
 
     def not_visited_mask(self, cand_arr, seen: SeenSet) -> np.ndarray:
-        """Vectorized when complete; dedup+shard probe on overflow. Python
-        strings materialize only on the overflow path."""
+        """Set probe when complete; dedup+shard probe on overflow."""
         if len(cand_arr) == 0:
             return np.zeros(0, dtype=bool)
-        if self.complete:
-            return (
-                ~self._pl.from_arrow(cand_arr).is_in(self.series.implode())
-            ).to_numpy()
         cand = cand_arr.to_pylist()
+        if self.complete:
+            s = self.set
+            return np.fromiter((l not in s for l in cand), bool, len(cand))
         uniq = list(dict.fromkeys(cand))
         vis = seen.contains(uniq) if uniq else np.zeros(0, bool)
         vset = {u for u, v in zip(uniq, vis) if v}

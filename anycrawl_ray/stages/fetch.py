@@ -115,7 +115,7 @@ def fetch_parse_batch(
     # spans: take only HIT rows from the corpus column (copies just this
     # batch's pages), then reassemble with empty lists at miss positions
     hit_mask = rows >= 0
-    hit_spans = idx.spans_col.take(pa.array(rows[hit_mask], pa.int64()))
+    hit_spans = idx.take_spans(rows[hit_mask])
     if isinstance(hit_spans, pa.ChunkedArray):
         hit_spans = hit_spans.combine_chunks()
     lens = np.zeros(n, dtype=np.int64)
