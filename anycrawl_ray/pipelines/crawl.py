@@ -698,7 +698,13 @@ def run_crawl_relaxed(
     chunk_size = max(_PoolExecutor.MIN_CHUNK, cfg.dataset_batch_size)
     dispatched = 0
     n_chunks = 0
-    next_worker = 0
+    # round-robin start staggered by job_id: K concurrent jobs sharing one
+    # pool would otherwise ALL start at worker 0 and pile their chunks onto
+    # the same low-index workers while the tail idles (measured: 4-job
+    # aggregate at 0.75x single-job before staggering)
+    import zlib
+
+    next_worker = zlib.crc32(cfg.job_id.encode())
     in_flight: dict = {}  # ref -> dispatched rows [(url, depth, seed_order, seq)]
     if resume and cfg.checkpoint_dir and os.path.exists(
         os.path.join(cfg.checkpoint_dir, "meta.json")
