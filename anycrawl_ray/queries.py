@@ -2845,11 +2845,13 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
-    """Closed-form SQL re-derivation of q_kmeans_embeddings: each Lloyd
+def _kmeans_ctes(k: int = 8, iters: int = 3, d: int = 64) -> list[str]:
+    """Shared CTE chain re-deriving kmeans_distributed in SQL: each Lloyd
     iteration is an assign CTE (ROW_NUMBER over list_distance, ties to the
     lowest cell) + a per-(cell, dim) AVG + a list rebuild, with empty cells
-    inheriting the previous centroid via COALESCE."""
+    inheriting the previous centroid via COALESCE. Ends with ``af``
+    (vec_id -> final cell) over ``e`` (vec_id, v DOUBLE[]); consumed by the
+    kmeans_embeddings AND semantic_dedup oracles."""
     parts = [
         f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
@@ -2876,6 +2878,13 @@ c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < {k})"""
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY list_distance(e.v, c.c), c.cell) AS rn
     FROM e CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    """Closed-form SQL re-derivation of q_kmeans_embeddings (see
+    :func:`_kmeans_ctes`)."""
+    parts = _kmeans_ctes(k, iters, d)
     parts.append(
         "cnt AS (SELECT cell, COUNT(*)::BIGINT AS n_members FROM af "
         "GROUP BY cell)")
@@ -2884,6 +2893,196 @@ SELECT c.cell, r.i, ROUND(c.c[CAST(r.i AS INT)], 6) AS x,
        COALESCE(cnt.n_members, 0)::BIGINT AS n_members
 FROM c{iters} c CROSS JOIN range(1, {d + 1}) r(i) LEFT JOIN cnt USING (cell)
 ORDER BY cell, i"""
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 3, d: int = 64,
+                               tau: float = 0.4) -> str:
+    """SQL re-derivation of q_semantic_dedup: the kmeans assignment chain,
+    then a vector survives iff NO smaller-id vector in ITS cluster has
+    rounded cosine >= tau (list_cosine_similarity on DOUBLE[] mirrors the
+    Ray side's normalize-then-dot at 6-decimal rounding — the
+    embedding_dedup precedent)."""
+    parts = _kmeans_ctes(k, iters, d)
+    return ",\n".join(parts) + f"""
+SELECT a.vec_id, a.cell
+FROM af a JOIN e ea ON ea.vec_id = a.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM af b JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+    AND ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {tau})
+ORDER BY a.vec_id"""
+
+
+def _importance_oracle_sql(B: int = 256, k: int = 100) -> str:
+    """SQL re-derivation of q_importance_sample: same tokenization as the
+    hygiene oracles, lateral bigram expansion, closed-form FNV-1a/splitmix64
+    bucketing, Laplace-smoothed target/source log-ratio, per-doc score
+    rounded to 6dp BEFORE ranking (knn_join boundary rule)."""
+    from .functions import strhash as _SH
+
+    toks = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+        g AS (SELECT doc_id, lang, array_to_string(toks[i : i + 1], ' ') AS g
+              FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        hb AS (SELECT doc_id, lang, {_SH.sql_fnv_fold('g')} AS f FROM g),
+        hx AS (SELECT doc_id, lang,
+                      ({_SH.sql_splitmix64('f')}) % {B} AS b FROM hb),
+        cnt AS (SELECT b, COUNT(*)::DOUBLE AS n_all,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS n_tgt
+                FROM hx GROUP BY b),
+        tot AS (SELECT SUM(n_all) AS s, SUM(n_tgt) AS t FROM cnt),
+        w AS (SELECT b, ln((n_tgt + 1.0) / (t + {B}))
+                       - ln((n_all + 1.0) / (s + {B})) AS lw
+              FROM cnt, tot),
+        score AS (SELECT doc_id, ROUND(SUM(lw), 6) AS score
+                  FROM hx JOIN w USING (b) GROUP BY doc_id)
+        SELECT doc_id, score FROM score ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def q_importance_sample(sf_dir: str):
+    """DSIR-style data selection via hashed n-gram importance resampling
+    (Xie et al. 2023, arXiv:2302.03169 — public): score every document by
+    how target-like its hashed-bigram distribution is, keep the top-k.
+    Target = the 'en' slice of the corpus; source = the whole corpus.
+
+    Shape (two streaming passes, NO per-gram shuffle): (1) each batch
+    folds its bigrams into a B=256-bucket count vector for (all, target) —
+    the combiner — and one tiny groupby("bucket") sums the B-row partials;
+    (2) the (B,) log-ratio vector rides the task closure and one
+    map_batches pass scores each doc (sum of its grams' bucket weights,
+    rounded to 6dp BEFORE ranking on both sides — the knn_join boundary
+    rule) and emits a per-batch local top-k; the driver folds
+    n_batches x k rows. Bucket counts are corpus-size-independent state:
+    at 10^10 docs the shuffle still carries B rows per batch. Bigram
+    hashing is the closed-form FNV-1a/splitmix64 (strhash.py) so DuckDB
+    re-derives the bucketing bit-for-bit."""
+    from .functions import hygiene as hy
+    from .functions.strhash import hash_strings
+
+    B, K = 256, 100
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _grams(t: pa.Table):
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        grams, rows = hy.ngram_rows(flat, offsets, 2)
+        b = (hash_strings(grams) % np.uint64(B)).astype(np.int64)
+        return b, rows
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        b, rows = _grams(t)
+        is_t = (np.asarray(t.column("lang")) == "en")[rows] if len(rows) else \
+            np.zeros(0, bool)
+        return pa.table({
+            "bucket": pa.array(np.arange(B, dtype=np.int64)),
+            "n_all": pa.array(np.bincount(b, minlength=B).astype(np.int64)),
+            "n_tgt": pa.array(
+                np.bincount(b[is_t], minlength=B).astype(np.int64)),
+        })
+
+    cnt = _collect(
+        ds.map_batches(bucket_counts, batch_format="pyarrow",
+                       batch_size=2048)
+        .groupby("bucket")
+        .aggregate(Sum("n_all", alias_name="n_all"),
+                   Sum("n_tgt", alias_name="n_tgt")))
+    n_all = np.zeros(B, dtype=np.float64)
+    n_tgt = np.zeros(B, dtype=np.float64)
+    bk = cnt.column("bucket").to_numpy()
+    n_all[bk] = cnt.column("n_all").to_numpy()
+    n_tgt[bk] = cnt.column("n_tgt").to_numpy()
+    s_tot, t_tot = n_all.sum(), n_tgt.sum()
+    lw = (np.log((n_tgt + 1.0) / (t_tot + B))
+          - np.log((n_all + 1.0) / (s_tot + B)))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        b, rows = _grams(t)
+        ids = t.column("doc_id").to_numpy()
+        s = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(s, rows, lw[b])
+        has = np.zeros(len(ids), dtype=bool)
+        has[rows] = True  # docs with zero bigrams are outside the model
+        s = _round6_half_away(s)
+        idx = np.flatnonzero(has)
+        order = idx[np.lexsort((ids[idx], -s[idx]))][:K]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score": pa.array(s[order], pa.float64()),
+        })
+
+    parts = _collect(ds.map_batches(score_topk, batch_format="pyarrow",
+                                    batch_size=2048))
+    ids = parts.column("doc_id").to_numpy()
+    sc = parts.column("score").to_numpy()
+    order = np.lexsort((ids, -sc))[:K]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(sc[order], pa.float64())})
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): k-means the embedding corpus, then prune
+    near-duplicates WITHIN clusters only — a vector is dropped when a
+    smaller-id vector in its cluster has rounded cosine >= 0.4 (this
+    corpus's near-dup band, same threshold as q_embedding_dedup). The
+    clustering bounds pair work to cluster-local matmuls: at 10^10 vectors
+    k scales with n to hold cluster size ~constant, so total work is
+    O(n * cluster_size) instead of O(n^2) — the approximation that makes
+    embedding dedup tractable at corpus scale. k=8/iters=3 here match the
+    kmeans_embeddings oracle chain (shared CTE builder).
+
+    Shape: kmeans (broadcast centroids + streaming sufficient stats, no
+    shuffle) -> one assignment pass -> ONE co-partitioned shuffle on cell
+    -> vectorized per-cluster cosine prune (rows sorted by vec_id; drop =
+    any True strictly below the diagonal)."""
+    from .functions.ann import embedding_matrix, kmeans_distributed
+    from .functions.dedup import l2_normalize
+
+    TAU = 0.4
+    k = 8
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = _collect(ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), k)),
+        batch_format="pyarrow")).sort_by("vec_id")
+    cents, _ = kmeans_distributed(ds, embedding_matrix(seed_rows), iters=3)
+    bcast = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(bcast)
+        mat = embedding_matrix(t)
+        # true squared L2, ties to the lowest cell — the exact assignment
+        # rule kmeans_distributed uses (and the SQL chain re-derives)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        return t.append_column(
+            "cell", pa.array(np.argmin(d2, axis=1).astype(np.int64)))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def kernel(df):
+        import polars as pl
+
+        outs = []
+        for (cell,), g in df.group_by("cell"):
+            g = g.sort("vec_id")
+            mat = l2_normalize(np.asarray(
+                g.get_column("embedding").to_list(), dtype=np.float64))
+            sims = _round6_half_away(mat @ mat.T)
+            drop = np.tril(sims >= TAU, -1).any(axis=1)
+            outs.append(pl.DataFrame({
+                "vec_id": g.get_column("vec_id").filter(~drop),
+                "cell": pl.Series(np.full(int((~drop).sum()), cell,
+                                          dtype=np.int64)),
+            }))
+        return pl.concat(outs) if outs else pl.DataFrame(
+            {"vec_id": pl.Series([], dtype=pl.Int64),
+             "cell": pl.Series([], dtype=pl.Int64)})
+
+    # n_parts pinned: k=8 clusters bound useful fan-out
+    out = _collect(_co_partitioned(assigned, "cell", kernel, n_parts=8))
+    return out.sort_by("vec_id")
 
 
 def q_bigjoin_priority(sf_dir: str):
@@ -3709,6 +3908,8 @@ def build_queries() -> dict[str, Callable]:
         "minhash_incremental": q_minhash_incremental,
         "ann_indexed": q_ann_indexed,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup": q_semantic_dedup,
+        "importance_sample": q_importance_sample,
         "bigjoin_priority": q_bigjoin_priority,
         "mixture_sample": q_mixture_sample,
         "global_quantiles": q_global_quantiles,
@@ -4678,6 +4879,8 @@ def build_oracle_sql() -> dict[str, str]:
             ORDER BY f.doc_id
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "importance_sample": _importance_oracle_sql(),
         # global_quantiles: the Ray side selects by histogram refinement;
         # the oracle just sorts. Returned values are raw data elements, so
         # the match is exact — no rounding.

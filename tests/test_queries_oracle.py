@@ -129,6 +129,8 @@ SQL_CHECKED = [
     "token_count_bpe",
     "minhash_incremental",
     "kmeans_embeddings",
+    "semantic_dedup",
+    "importance_sample",
     "bigjoin_priority",
     "mixture_sample",
     "global_quantiles",
