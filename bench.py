@@ -310,7 +310,7 @@ def bench_queries() -> dict[str, float]:
         "corpus_build", "knn_join", "bpe_pair_counts", "cohort_retention",
         "event_funnel", "rolling_active_users",
         "recrawl_priority", "vocab_build", "char_entropy",
-        "containment_pairs",
+        "containment_pairs", "semantic_dedup", "importance_sample",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}
@@ -481,7 +481,7 @@ HEADROOM_ENTRIES = [
     # dedup family + the heaviest analytics entries (VERDICT r3 next #6)
     "dedup_exact", "minhash_dedup", "simhash_dedup",
     "corpus_build", "containment_pairs", "bigjoin_priority",
-    "heavy_hitters", "tfidf_topk",
+    "heavy_hitters", "tfidf_topk", "semantic_dedup", "importance_sample",
 ]
 
 
