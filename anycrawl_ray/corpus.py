@@ -225,6 +225,9 @@ class CorpusIndex:
         chunk, then restore input order with one take on the batch-sized
         result."""
         col = self.spans_col
+        if len(row_ids) == 0:  # all-miss chunk (e.g. a wave of dead links)
+            return pa.ListArray.from_arrays(
+                pa.array([0], pa.int32()), self._span_struct).slice(0, 0)
         if not isinstance(col, pa.ChunkedArray):
             return col.take(pa.array(row_ids, pa.int64()))
         if col.num_chunks <= 1:

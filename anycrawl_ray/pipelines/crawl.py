@@ -670,7 +670,16 @@ def run_crawl_relaxed(
     corpus_ref = corpus if isinstance(corpus, ray.ObjectRef) else ray.put(corpus)
     seen = SeenSet(cfg.n_seen_shards, store_dir=cfg.seen_store_dir,
                    memtable_cap=cfg.seen_memtable_cap)
-    frontier = Frontier(cfg.job_id)
+    # same spill wiring as conformance mode: without it a checkpointed
+    # relaxed crawl holds the WHOLE frontier in memory and re-dumps it
+    # fully at every checkpoint (O(frontier) per checkpoint — the 10×
+    # headroom run measured 244 × 12 MB dumps); with spill, checkpoints
+    # hard-link immutable segments and write only the bounded head/tail
+    frontier = Frontier(
+        cfg.job_id,
+        spill_threshold=cfg.frontier_spill_threshold,
+        spill_dir=os.path.join(cfg.checkpoint_dir, "spill") if cfg.checkpoint_dir else None,
+    )
     out = CrawlOutput(spans_dir=cfg.spans_out_dir)
     counters_rows: list[dict] = []
     ctx = make_job_context(seed_url, opts, cfg)

@@ -138,14 +138,24 @@ def bench_crawl(num_cpus: int, mode: str = "conformance",
                         per_host_cap=(POLITE_CAP if polite else 0))
     scratch = tempfile.mkdtemp(prefix="anycrawl_bench_")
 
+    # checkpoint roughly every ~16k pages in BOTH modes: a conformance
+    # "round" is one wave (BENCH_WAVE pages) but a relaxed "round" is one
+    # completed 512-row chunk — a fixed every-4-rounds cadence would
+    # checkpoint every 2k pages in relaxed mode (244 checkpoints at 10×)
+    ckpt_every = 4 if mode != "relaxed" else max(4, 16384 // 512)
+
     def run_cfg(jid: str) -> CrawlRunConfig:
         return CrawlRunConfig(
             job_id=jid, n_fetch_workers=n_workers, n_seen_shards=4,
             executor="pool", spans_out_dir=os.path.join(scratch, jid, "spans"),
             checkpoint_dir=(os.path.join(scratch, jid, "ckpt") if checkpointed else None),
-            checkpoint_every=(4 if checkpointed else 0),
+            checkpoint_every=(ckpt_every if checkpointed else 0),
             seen_store_dir=(os.path.join(scratch, jid, "seen") if checkpointed else None),
             seen_memtable_cap=(8192 if checkpointed else 1 << 20),
+            # bound the frontier's in-memory head when checkpointing: the
+            # head re-dumps per checkpoint (only spill segments hard-link),
+            # so its size IS the per-checkpoint write cost
+            frontier_spill_threshold=(131072 if checkpointed else 1_000_000),
             render_iters=RENDER_ITERS, dataset_batch_size=512,
             politeness=("actors" if polite else "driver"),
         )

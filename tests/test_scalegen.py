@@ -35,3 +35,32 @@ def test_scaled_dir_shape_and_determinism(tmp_path):
 
     # idempotence: _DONE short-circuits
     assert generate_scaled_dir(str(tmp_path / "a"), mult=mult) == d1
+
+
+def test_corpus_index_take_spans_chunked():
+    """take_spans must be O(batch) and correct on MULTI-chunk corpora
+    (parquet reads >131072 rows come back chunked; ChunkedArray.take
+    concatenates internally — the 10x headroom regression), including the
+    all-miss empty gather."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anycrawl_ray.corpus import CorpusConfig, CorpusIndex, generate_corpus
+
+    tab = generate_corpus("/root/testdata/sf0.001", CorpusConfig(n_pages=300))
+    # force a 3-chunk spans column with identical rows
+    spans = tab.column("spans")
+    chunked = pa.chunked_array([spans.slice(0, 100).combine_chunks(),
+                                spans.slice(100, 100).combine_chunks(),
+                                spans.slice(200, 100).combine_chunks()])
+    tab3 = tab.set_column(tab.schema.get_field_index("spans"), "spans", chunked)
+    idx1, idx3 = CorpusIndex(tab), CorpusIndex(tab3)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 300, 64).astype(np.int64)
+    a = idx1.take_spans(ids)
+    b = idx3.take_spans(ids)
+    assert a.equals(b)
+    assert len(idx3.take_spans(np.array([], np.int64))) == 0
+    # order preservation across chunk boundaries
+    ids2 = np.array([250, 5, 150, 5, 299, 0], np.int64)
+    assert idx3.take_spans(ids2).equals(idx1.take_spans(ids2))
