@@ -3692,6 +3692,53 @@ def q_event_funnel(sf_dir: str):
     ).sort_by("step")
 
 
+def q_attribution_join(sf_dir: str):
+    """Attribution-window join — a non-equi time-RANGE self-join: for every
+    purchase, how many view/click events the same user produced in the day
+    before it (p.ts - 24h <= e.ts < p.ts). Ray Data has no range join; the
+    shape is ONE co-partitioned shuffle on user_id, then a kernel that
+    rank-encodes the partition's users and packs (user_rank, rel_ts_us)
+    into a single int64 key so BOTH window bounds resolve with two
+    np.searchsorted calls over the sorted candidate keys — no per-user
+    loop, no candidate-pair materialization (the join output is
+    purchase-sized, never pair-sized)."""
+    import polars as pl
+
+    WINDOW_US = 24 * 3_600_000_000
+
+    def kernel(df: pl.DataFrame) -> pl.DataFrame:
+        empty = pl.DataFrame(
+            {"event_id": pl.Series([], dtype=pl.Int64),
+             "user_id": pl.Series([], dtype=pl.Int64),
+             "n_prior": pl.Series([], dtype=pl.Int64)})
+        ts = df["ts"].cast(pl.Int64).to_numpy()  # epoch microseconds
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        is_p = et == "purchase"
+        if not is_p.any():
+            return empty
+        is_c = (et == "view") | (et == "click")
+        rel = ts - ts.min()  # partition-local; only differences matter
+        uniq, uidx = np.unique(uid, return_inverse=True)
+        span = int(rel.max()) + 2
+        assert len(uniq) * span < 2**63, "packed range-join key overflow"
+        key = uidx.astype(np.int64) * span + rel
+        cand = np.sort(key[is_c])
+        hi_key = key[is_p]  # 'left' => e.ts < p.ts strict, ties excluded
+        lo_key = (uidx[is_p].astype(np.int64) * span
+                  + np.maximum(rel[is_p] - WINDOW_US, 0))
+        n_prior = (np.searchsorted(cand, hi_key, "left")
+                   - np.searchsorted(cand, lo_key, "left"))
+        return pl.DataFrame(
+            {"event_id": df["event_id"].to_numpy()[is_p],
+             "user_id": uid[is_p],
+             "n_prior": n_prior.astype(np.int64)})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = _collect(_co_partitioned(ds, "user_id", kernel))
+    return out.select(["event_id", "user_id", "n_prior"]).sort_by("event_id")
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -3919,6 +3966,7 @@ def build_queries() -> dict[str, Callable]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
+        "attribution_join": q_attribution_join,
         "rolling_active_users": q_rolling_active_users,
         "recrawl_priority": q_recrawl_priority,
         "vocab_build": q_vocab_build,
@@ -4808,6 +4856,17 @@ def build_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'click', COUNT(*)::BIGINT FROM t2
             UNION ALL SELECT 'purchase', COUNT(*)::BIGINT FROM t3
             ORDER BY step
+        """,
+        "attribution_join": """
+            SELECT p.event_id, p.user_id,
+                   COUNT(e.event_id)::BIGINT AS n_prior
+            FROM events p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type IN ('view', 'click')
+             AND e.ts >= p.ts - INTERVAL 24 HOUR AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
         """,
         "cohort_retention": """
             WITH ud AS (SELECT DISTINCT user_id,

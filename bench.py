@@ -318,7 +318,7 @@ def bench_queries() -> dict[str, float]:
         "minhash_incremental", "ann_indexed", "kmeans_embeddings",
         "bigjoin_priority", "mixture_sample", "global_quantiles", "ann_pq",
         "corpus_build", "knn_join", "bpe_pair_counts", "cohort_retention",
-        "event_funnel", "rolling_active_users",
+        "event_funnel", "rolling_active_users", "attribution_join",
         "recrawl_priority", "vocab_build", "char_entropy",
         "containment_pairs", "semantic_dedup", "importance_sample",
     ]

@@ -139,6 +139,7 @@ SQL_CHECKED = [
     "bpe_pair_counts",
     "cohort_retention",
     "event_funnel",
+    "attribution_join",
     "rolling_active_users",
     "recrawl_priority",
     "vocab_build",
