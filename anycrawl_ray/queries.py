@@ -1781,10 +1781,9 @@ def q_corpus_funnel(sf_dir: str):
     )
 
 
-def q_unigram_logprob(sf_dir: str):
-    """Unigram language-model scoring (the CCNet/KenLM-shaped quality
-    signal): score each document by the mean log-probability of its tokens
-    under the corpus's OWN unigram distribution. Two phases, both
+def _avg_logprob(sf_dir: str) -> pa.Table:
+    """(doc_id, avg_logprob) under the corpus's own unigram LM — shared by
+    q_unigram_logprob and q_perplexity_buckets. Two phases, both
     vocabulary-sized: (1) the combiner pipeline builds the token→tf table
     (`_vocab_table` — only vocab-sized partials enter the shuffle);
     (2) log-probs ln(tf/total) are broadcast ONCE via ray.put and one
@@ -1824,6 +1823,35 @@ def q_unigram_logprob(sf_dir: str):
 
     out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
     return _collect(out).sort_by("doc_id")
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram language-model scoring (the CCNet/KenLM-shaped quality
+    signal) — see :func:`_avg_logprob` for the two-phase broadcast shape."""
+    return _avg_logprob(sf_dir)
+
+
+# CCNet buckets documents by LM score against thresholds taken from a
+# reference corpus (Wenzek et al. 2020, §4.3 "perplexity buckets"); these
+# constants play that role for the synthetic corpus (chosen to split it
+# roughly in thirds). Comparisons run on the ROUND(...,6) values BOTH sides
+# compute identically (unigram_logprob's hash-green oracle is the proof),
+# so the bucket edges are deterministic across engines.
+_PPL_HEAD = -3.400  # avg_logprob >= head threshold → 'head'
+_PPL_TAIL = -3.404  # avg_logprob < tail threshold → 'tail'
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: label every document head / middle
+    / tail by its unigram-LM score (the cheap KenLM stand-in). Reuses the
+    :func:`_avg_logprob` broadcast pipeline — one extra vectorized
+    np.where over the scored table, nothing re-tokenized."""
+    t = _avg_logprob(sf_dir)
+    alp = t.column("avg_logprob").to_numpy()
+    bucket = np.where(
+        alp >= _PPL_HEAD, "head", np.where(alp < _PPL_TAIL, "tail", "middle")
+    )
+    return t.append_column("bucket", pa.array(bucket, pa.string()))
 
 
 _QUANTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
@@ -3739,6 +3767,198 @@ def q_attribution_join(sf_dir: str):
     return out.select(["event_id", "user_id", "n_prior"]).sort_by("event_id")
 
 
+# --- streaming_window: watermark + allowed-lateness tumbling windows -------
+_SW_JIT_US = 43_200 * 1_000_000       # ±12h deterministic arrival jitter
+_SW_LATE_US = 18 * 3_600 * 1_000_000  # allowed lateness (the watermark W)
+_SW_WIN_US = 86_400 * 1_000_000       # 1-day tumbling event-time windows
+_SW_PART_US = 86_400 * 1_000_000      # arrival-range partition width
+_SW_NEG_INF = -(2 ** 62)              # "no earlier arrival" sentinel (subtractable)
+
+
+def q_streaming_window(sf_dir: str):
+    """Watermarked tumbling-window aggregate with a late-data policy — the
+    event-time streaming operator (Flink/Beam semantics) Ray Data has no
+    primitive for. Watermark = max event time seen so far in ARRIVAL order
+    minus an allowed lateness W; an event is late (dropped from its
+    window's aggregate, counted in n_late) iff some STRICTLY earlier
+    arrival already carried an event time > its own + W. The events table
+    has no arrival column, so arrival order is synthesized deterministically
+    as event time + splitmix64(event_id)-jitter in ±12h (a network-delay
+    model) — both sides derive it identically, which keeps the operator
+    SQL-oracle-checkable (~6-18% of events end up late at test scales).
+
+    Distributed shape — the running watermark is a SCAN, same two-pass
+    discipline as q_sequence_pack: (1) one streaming pass projects
+    (event_id, tsu, value, arrival_key, part) where part RANGE-partitions
+    arrival (so partition order == arrival order); (2) per-part max event
+    time, exclusive prefix-max on the driver (one int per partition),
+    broadcast; (3) one co-partitioned pass does a vectorized within-part
+    running max + the broadcast prefix, flags lateness, and emits per-part
+    per-WINDOW partials (combiner) — the final groupby shuffles only
+    window-count-sized rows. No global sort, no driver per-event data."""
+    from .functions.strhash import splitmix64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        tsu = pc.cast(t.column("ts"), pa.int64()).to_numpy()  # epoch us
+        jit = (splitmix64(ids.astype(np.uint64))
+               % np.uint64(2 * _SW_JIT_US)).astype(np.int64) - _SW_JIT_US
+        ak = tsu + jit
+        return pa.table(
+            {"event_id": t.column("event_id"),
+             "tsu": pa.array(tsu, pa.int64()),
+             "value": t.column("value"),
+             "ak": pa.array(ak, pa.int64()),
+             "part": pa.array(ak // _SW_PART_US, pa.int64())}
+        )
+
+    proj = ds.map_batches(
+        project, batch_format="pyarrow", batch_size=4096
+    ).materialize()
+
+    # exclusive prefix max of event time across arrival-ordered partitions
+    pm = _collect(
+        proj.groupby("part").aggregate(Max("tsu", alias_name="mx"))
+    ).to_pandas().sort_values("part")
+    prefix: dict[int, int] = {}
+    run = _SW_NEG_INF
+    for p, mx in zip(pm["part"], pm["mx"]):
+        prefix[int(p)] = run
+        run = max(run, int(mx))
+    pref_ref = ray.put(prefix)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        pref = ray.get(pref_ref)
+        base = pref[int(t.column("part")[0].as_py())]
+        order = pc.sort_indices(
+            t, sort_keys=[("ak", "ascending"), ("event_id", "ascending")])
+        tsu = t.column("tsu").take(order).to_numpy()
+        val = t.column("value").take(order).to_numpy()
+        runmax = np.maximum.accumulate(tsu)
+        prev = np.empty_like(runmax)
+        prev[0] = base
+        np.maximum(runmax[:-1], base, out=prev[1:])
+        late = tsu < prev - _SW_LATE_US
+        df = pd.DataFrame(
+            {"window_id": tsu // _SW_WIN_US, "late": late, "value": val})
+        on = df[~df.late].groupby("window_id").agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        lt = df[df.late].groupby("window_id").size().rename("n_late")
+        m = on.join(lt, how="outer").fillna(0).reset_index()
+        return pa.table(
+            {"window_id": pa.array(m["window_id"].to_numpy(np.int64)),
+             "n_events": pa.array(m["n_events"].to_numpy(np.int64)),
+             "sum_value": pa.array(m["sum_value"].to_numpy(np.float64)),
+             "n_late": pa.array(m["n_late"].to_numpy(np.int64))}
+        )
+
+    partials = proj.groupby("part").map_groups(kernel, batch_format="pyarrow")
+    out = _collect(
+        partials.groupby("window_id").aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_late", alias_name="n_late"))
+    ).sort_by("window_id")
+    return pa.table(
+        {"window_id": pc.cast(out.column("window_id"), pa.int64()),
+         "n_events": pc.cast(out.column("n_events"), pa.int64()),
+         "sum_value": pa.array(
+             _round6_half_away(out.column("sum_value").to_numpy()),
+             pa.float64()),
+         "n_late": pc.cast(out.column("n_late"), pa.int64())}
+    )
+
+
+# --- doc_chunks: RAG-style overlapping chunking ----------------------------
+_CHUNK_C = 200  # chunk size (characters)
+_CHUNK_S = 150  # stride (characters) → 50-char overlap
+
+
+def q_doc_chunks(sf_dir: str):
+    """RAG chunking: split every document into 200-char windows with 50-char
+    overlap, the retrieval-corpus preparation step (reference's chunker
+    surface: packages/ai chunking — here over the documents table). Standard
+    tail rule: a chunk k>0 exists only if the previous chunk did not already
+    reach the document end. Vectorized as one pyarrow utf8_slice PER CHUNK
+    ORDINAL over the whole batch (≈ max_len/stride slice calls, never a
+    per-row Python loop); chunk text never leaves the worker — only
+    (doc_id, chunk_id, pos, chunk_chars, chunk_hash) rows, so the output is
+    metadata-sized. chunk_hash is the FNV-1a/splitmix64 content hash the SQL
+    oracle re-derives byte-for-byte."""
+    from .functions.strhash import hash_strings
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        n = pc.utf8_length(texts).to_numpy().astype(np.int64)
+        ids = t.column("doc_id").to_numpy()
+        cols: dict[str, list[np.ndarray]] = {
+            "doc_id": [], "chunk_id": [], "pos": [], "chunk_chars": [], "h": []}
+        k = 0
+        while True:
+            live = (n > 0) if k == 0 else ((k - 1) * _CHUNK_S + _CHUNK_C < n)
+            if not live.any():
+                break
+            idx = np.flatnonzero(live)
+            start = k * _CHUNK_S
+            sl = pc.utf8_slice_codeunits(
+                texts.take(pa.array(idx)), start=start, stop=start + _CHUNK_C)
+            cols["doc_id"].append(ids[idx])
+            cols["chunk_id"].append(np.full(len(idx), k, np.int64))
+            cols["pos"].append(np.full(len(idx), start, np.int64))
+            cols["chunk_chars"].append(np.minimum(n[idx] - start, _CHUNK_C))
+            cols["h"].append(hash_strings(sl.to_numpy(zero_copy_only=False)))
+            k += 1
+        if not cols["doc_id"]:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "chunk_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
+                 "chunk_chars": pa.array([], pa.int64()),
+                 "chunk_hash": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(cols["doc_id"]), pa.int64()),
+             "chunk_id": pa.array(np.concatenate(cols["chunk_id"]), pa.int64()),
+             "pos": pa.array(np.concatenate(cols["pos"]), pa.int64()),
+             "chunk_chars": pa.array(
+                 np.concatenate(cols["chunk_chars"]), pa.int64()),
+             "chunk_hash": pa.array(np.concatenate(cols["h"]), pa.uint64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by(
+        [("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-user z-score anomaly flags over the events stream (the monitor
+    family's 'alert on unusual values' operator): flag events whose value
+    sits ≥3 population standard deviations from the user's own mean. ONE
+    co-partitioned shuffle on user_id, then vectorized polars window
+    mean/std per partition — output is anomaly-sized, never event-sized.
+    The |z| ≥ 3 gate compares the ROUND(...,6) z both engines compute."""
+    import polars as pl
+
+    def kernel(df: "pl.DataFrame") -> "pl.DataFrame":
+        df = df.with_columns(
+            pl.col("value").mean().over("user_id").alias("m"),
+            pl.col("value").std(ddof=0).over("user_id").alias("sd"),
+        ).filter(pl.col("sd") > 0)
+        z = _round6_half_away(
+            ((df["value"] - df["m"]) / df["sd"]).to_numpy())
+        keep = np.abs(z) >= 3.0
+        return df.filter(pl.Series(keep)).select(
+            ["event_id", "user_id", "value"]
+        ).with_columns(pl.Series("z", z[keep]))
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = _collect(_co_partitioned(ds, "user_id", kernel))
+    return out.sort_by("event_id")
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pre-tokenizer regex token count per doc (the BPE-ish
     complement to whitespace token_count) — vectorized Arrow RE2."""
@@ -3944,6 +4164,10 @@ def build_queries() -> dict[str, Callable]:
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
+        "perplexity_buckets": q_perplexity_buckets,
+        "streaming_window": q_streaming_window,
+        "doc_chunks": q_doc_chunks,
+        "value_outliers": q_value_outliers,
         "group_quantiles": q_group_quantiles,
         "rolling_events": q_rolling_events,
         "stratified_sample": q_stratified_sample,
@@ -3999,6 +4223,23 @@ def build_queries() -> dict[str, Callable]:
 # ---------------------------------------------------------------------------
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+# unigram-LM average log-prob per doc, shared by the unigram_logprob and
+# perplexity_buckets oracles (ends in CTE `alp`: doc_id, avg_logprob)
+_SQL_ALP_BLOCK = f"""t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+            ),
+            f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+            p AS (
+                SELECT t.doc_id, AVG(ln(f.tf / tot.tot)) AS alp
+                FROM t JOIN f USING (token) CROSS JOIN tot
+                GROUP BY t.doc_id
+            ),
+            alp AS (
+                SELECT d.doc_id, ROUND(COALESCE(p.alp, 0.0), 6) AS avg_logprob
+                FROM documents d LEFT JOIN p USING (doc_id)
+            )"""
 
 _M64 = "18446744073709551616"
 _MERS = "2305843009213693951"  # 2^61-1, minhash_signature's modulus
@@ -4312,18 +4553,91 @@ def build_oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= {_TFIDF_K} ORDER BY doc_id, rank
         """,
         "unigram_logprob": f"""
-            WITH t AS (
-                SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+            WITH {_SQL_ALP_BLOCK}
+            SELECT doc_id, avg_logprob FROM alp ORDER BY doc_id
+        """,
+        "perplexity_buckets": f"""
+            WITH {_SQL_ALP_BLOCK}
+            SELECT doc_id, avg_logprob,
+                   CASE WHEN avg_logprob >= {_PPL_HEAD} THEN 'head'
+                        WHEN avg_logprob < {_PPL_TAIL} THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM alp ORDER BY doc_id
+        """,
+        "streaming_window": f"""
+            WITH e AS (
+                SELECT event_id, epoch_us(ts) AS tsu, value,
+                       epoch_us(ts)
+                       + CAST({_sm('event_id')} % {2 * _SW_JIT_US} AS BIGINT)
+                       - CAST({_SW_JIT_US} AS BIGINT) AS ak
+                FROM events
             ),
-            f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
-            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
-            p AS (
-                SELECT t.doc_id, AVG(ln(f.tf / tot.tot)) AS alp
-                FROM t JOIN f USING (token) CROSS JOIN tot
-                GROUP BY t.doc_id
+            r AS (
+                SELECT tsu, value,
+                       MAX(tsu) OVER (ORDER BY ak, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                FROM e
+            ),
+            f AS (
+                SELECT tsu // {_SW_WIN_US} AS window_id, value,
+                       CASE WHEN pm IS NOT NULL
+                                 AND tsu < pm - CAST({_SW_LATE_US} AS BIGINT)
+                            THEN 1 ELSE 0 END AS late
+                FROM r
             )
-            SELECT d.doc_id, ROUND(COALESCE(p.alp, 0.0), 6) AS avg_logprob
-            FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id
+            SELECT CAST(window_id AS BIGINT) AS window_id,
+                   CAST(SUM(1 - late) AS BIGINT) AS n_events,
+                   ROUND(COALESCE(
+                       SUM(CASE WHEN late = 0 THEN value END), 0.0), 6)
+                       AS sum_value,
+                   CAST(SUM(late) AS BIGINT) AS n_late
+            FROM f GROUP BY window_id ORDER BY window_id
+        """,
+        "doc_chunks": f"""
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE length(text) > 0
+            ),
+            k AS (
+                SELECT doc_id, text, n,
+                       unnest(generate_series(0,
+                           CAST(ceil(greatest(n - {_CHUNK_C}, 0)
+                               / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT)))
+                           AS chunk_id
+                FROM d
+            ),
+            c AS (
+                SELECT doc_id, chunk_id, chunk_id * {_CHUNK_S} AS pos,
+                       least(n - chunk_id * {_CHUNK_S}, {_CHUNK_C})
+                           AS chunk_chars,
+                       substring(text, chunk_id * {_CHUNK_S} + 1, {_CHUNK_C})
+                           AS chunk
+                FROM k
+            ),
+            h AS (
+                SELECT doc_id, chunk_id, pos, chunk_chars,
+                       {_SH.sql_fnv_fold('chunk')} AS f
+                FROM c
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(chunk_chars AS BIGINT) AS chunk_chars,
+                   ({_sm('f')})::UBIGINT AS chunk_hash
+            FROM h ORDER BY doc_id, chunk_id
+        """,
+        "value_outliers": """
+            WITH s AS (
+                SELECT event_id, user_id, value,
+                       AVG(value) OVER (PARTITION BY user_id) AS m,
+                       STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd
+                FROM events
+            )
+            SELECT event_id, user_id, value,
+                   ROUND((value - m) / sd, 6) AS z
+            FROM s
+            WHERE sd > 0 AND abs(ROUND((value - m) / sd, 6)) >= 3.0
+            ORDER BY event_id
         """,
         # rank_q = ceil(q*n) in double precision — the same arithmetic the
         # Ray side runs, and the element quantile_disc selects

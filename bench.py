@@ -321,6 +321,8 @@ def bench_queries() -> dict[str, float]:
         "event_funnel", "rolling_active_users", "attribution_join",
         "recrawl_priority", "vocab_build", "char_entropy",
         "containment_pairs", "semantic_dedup", "importance_sample",
+        "streaming_window", "perplexity_buckets", "doc_chunks",
+        "value_outliers",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

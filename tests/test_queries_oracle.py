@@ -112,6 +112,10 @@ SQL_CHECKED = [
     "inverted_index",
     "tfidf_topk",
     "unigram_logprob",
+    "perplexity_buckets",
+    "streaming_window",
+    "doc_chunks",
+    "value_outliers",
     "group_quantiles",
     "rolling_events",
     "stratified_sample",
