@@ -172,7 +172,10 @@ class PolitenessSet:
                  default_rate_per_sec: float = 10.0, burst: float = 4.0):
         self.n_shards = n_shards
         self.shards = [
-            PolitenessShard.options(num_cpus=0.1).remote(
+            # num_cpus=0 + SPREAD: same rationale as SeenSet — bookkeeping
+            # actors must not participate in CPU-slot gang allocation or
+            # concurrent jobs can circular-wait on partial shard gangs.
+            PolitenessShard.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
                 i, robots_table, default_rate_per_sec, burst
             )
             for i in range(n_shards)

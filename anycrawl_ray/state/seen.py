@@ -277,7 +277,12 @@ class SeenSet:
                  store_dir: str | None = None, memtable_cap: int = 1 << 20):
         self.n_shards = n_shards
         self.shards = [
-            SeenShard.options(num_cpus=0.25).remote(
+            # num_cpus=0: shards are bookkeeping actors (hash-set probes, a
+            # few ms per call). Reserving fractional CPUs lets K concurrent
+            # jobs each grab part of their shard gang and circular-wait when
+            # the cluster can't fit K full gangs; zero-CPU actors always
+            # schedule. SPREAD still distributes them across nodes.
+            SeenShard.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
                 i, capacity_per_shard,
                 store_dir=(os.path.join(store_dir, f"shard{i:03d}")
                            if store_dir else None),
