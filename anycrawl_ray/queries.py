@@ -1742,6 +1742,142 @@ def q_tfidf_topk(sf_dir: str):
     return _collect(out).sort_by([("doc_id", "ascending"), ("rank", "ascending")])
 
 
+# BM25 (Robertson/Spärck Jones): Lucene-style idf, standard k1/b defaults.
+# Query terms mix common and rare corpus tokens so idf spread is non-trivial.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 20
+_BM25_QUERY = ("merge", "vector", "window", "customer")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval for a fixed query — the search-side composition
+    over the same corpus statistics the indexing entries build. Two
+    streaming passes, both with tiny shuffles: (1) a per-batch combiner
+    emits ONE row per batch (doc count, total length, df partial per query
+    term — query-sized, not vocab-sized); the driver folds a handful of
+    rows into N, avgdl and idf per term. (2) idf/avgdl broadcast once via
+    ray.put; one map_batches pass scores every doc vectorized
+    (idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) summed in fixed term
+    order) and keeps only a local top-k per batch, so the driver merges
+    n_batches*k rows regardless of corpus size. Ranking uses the ROUND-6
+    score (DuckDB ROUND parity) with doc_id tiebreak."""
+    from .functions import hygiene as hy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(_BM25_QUERY)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        rows = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        cols = {"n_docs": pa.array([t.num_rows], pa.int64()),
+                "sum_dl": pa.array([int(len(flat))], pa.int64())}
+        for i, term in enumerate(terms):
+            hit = flat == term
+            cols[f"df_{i}"] = pa.array(
+                [int(len(np.unique(rows[hit])))], pa.int64())
+        return pa.table(cols)
+
+    stats = _collect(
+        ds.map_batches(combiner, batch_format="pyarrow", batch_size=2048)
+    )
+    n_docs = float(pc.sum(stats.column("n_docs")).as_py() or 0)
+    sum_dl = float(pc.sum(stats.column("sum_dl")).as_py() or 0)
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+    idf = {}
+    for i, term in enumerate(terms):
+        df = float(pc.sum(stats.column(f"df_{i}")).as_py() or 0)
+        idf[term] = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+    model_ref = ray.put((idf, avgdl))
+
+    k1, b = _BM25_K1, _BM25_B
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_m, adl = ray.get(model_ref)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        dl = np.diff(offsets).astype(np.float64)
+        rows = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        raw = np.zeros(len(ids), dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / adl)
+        for term in terms:  # fixed summation order, mirrored in the oracle
+            tf = np.bincount(rows[flat == term], minlength=len(ids)
+                             ).astype(np.float64)
+            raw += idf_m[term] * tf * (k1 + 1.0) / (tf + norm)
+        sc = _round6_half_away(raw)
+        hit = sc > 0
+        ids, sc = ids[hit], sc[hit]
+        order = np.lexsort((ids, -sc))[:_BM25_K]  # local top-k per batch
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(sc[order], pa.float64())})
+
+    parts = _collect(ds.map_batches(score, batch_format="pyarrow",
+                                    batch_size=2048))
+    ids = parts.column("doc_id").to_numpy()
+    sc = parts.column("score").to_numpy()
+    order = np.lexsort((ids, -sc))[:_BM25_K]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.int64()),
+         "score": pa.array(sc[order], pa.float64()),
+         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())}
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    """SQL re-derivation of q_bm25_topk. The per-doc score is an EXPLICIT
+    sum of one subexpression per query term (conditional-count pivot), in
+    the same fixed term order as the Ray kernel — SUM() over join rows
+    would add in engine order and float addition is not associative."""
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n                   ".join(
+        f"CAST(COUNT(*) FILTER (token = '{t}') AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    idf_cols = ",\n                   ".join(
+        f"ln((n.n - df.df{i} + 0.5) / (df.df{i} + 0.5) + 1.0) AS idf{i}"
+        for i in range(len(_BM25_QUERY))
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(COUNT(DISTINCT doc_id) FILTER (token = '{t}') AS DOUBLE)"
+        f" AS df{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    score_terms = "\n                     + ".join(
+        f"m.idf{i} * tfp.tf{i} * ({k1} + 1.0)"
+        f" / (tfp.tf{i} + {k1} * (1.0 - {b} + {b} * dl.dl / a.avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM t GROUP BY doc_id
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        a AS (SELECT SUM(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+        df AS (SELECT {df_cols} FROM t),
+        m AS (SELECT {idf_cols} FROM df, n),
+        tfp AS (
+            SELECT doc_id, {tf_cols} FROM t GROUP BY doc_id
+        ),
+        sc AS (
+            SELECT tfp.doc_id,
+                   ROUND({score_terms}, 6) AS score
+            FROM tfp JOIN dl USING (doc_id), m, a
+        ),
+        r AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+            FROM sc WHERE score > 0
+        )
+        SELECT doc_id, score, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= {_BM25_K} ORDER BY rank
+    """
+
+
 # funnel thresholds: chosen so each stage drops documents on the sf corpora
 _FUNNEL_QUALITY = 0.6
 _FUNNEL_DUP_BI = 0.05
@@ -4163,6 +4299,7 @@ def build_queries() -> dict[str, Callable]:
         "corpus_funnel": q_corpus_funnel,
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -4552,6 +4689,7 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(rn AS BIGINT) AS rank
             FROM r WHERE rn <= {_TFIDF_K} ORDER BY doc_id, rank
         """,
+        "bm25_topk": _bm25_oracle_sql(),
         "unigram_logprob": f"""
             WITH {_SQL_ALP_BLOCK}
             SELECT doc_id, avg_logprob FROM alp ORDER BY doc_id

@@ -111,6 +111,7 @@ SQL_CHECKED = [
     "corpus_funnel",
     "inverted_index",
     "tfidf_topk",
+    "bm25_topk",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
