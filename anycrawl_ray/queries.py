@@ -1750,18 +1750,18 @@ _BM25_K = 20
 _BM25_QUERY = ("merge", "vector", "window", "customer")
 
 
-def q_bm25_topk(sf_dir: str):
-    """BM25 top-k retrieval for a fixed query — the search-side composition
-    over the same corpus statistics the indexing entries build. Two
-    streaming passes, both with tiny shuffles: (1) a per-batch combiner
-    emits ONE row per batch (doc count, total length, df partial per query
-    term — query-sized, not vocab-sized); the driver folds a handful of
-    rows into N, avgdl and idf per term. (2) idf/avgdl broadcast once via
-    ray.put; one map_batches pass scores every doc vectorized
-    (idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) summed in fixed term
-    order) and keeps only a local top-k per batch, so the driver merges
-    n_batches*k rows regardless of corpus size. Ranking uses the ROUND-6
-    score (DuckDB ROUND parity) with doc_id tiebreak."""
+def _bm25_rank(sf_dir: str, k: int) -> pa.Table:
+    """(doc_id, score, rank) for the top-k BM25 docs — the search-side
+    composition over the same corpus statistics the indexing entries
+    build. Two streaming passes, both with tiny shuffles: (1) a per-batch
+    combiner emits ONE row per batch (doc count, total length, df partial
+    per query term — query-sized, not vocab-sized); the driver folds a
+    handful of rows into N, avgdl and idf per term. (2) idf/avgdl
+    broadcast once via ray.put; one map_batches pass scores every doc
+    vectorized (idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) summed in
+    fixed term order) and keeps only a local top-k per batch, so the
+    driver merges n_batches*k rows regardless of corpus size. Ranking
+    uses the ROUND-6 score (DuckDB ROUND parity) with doc_id tiebreak."""
     from .functions import hygiene as hy
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1809,7 +1809,7 @@ def q_bm25_topk(sf_dir: str):
         sc = _round6_half_away(raw)
         hit = sc > 0
         ids, sc = ids[hit], sc[hit]
-        order = np.lexsort((ids, -sc))[:_BM25_K]  # local top-k per batch
+        order = np.lexsort((ids, -sc))[:k]  # local top-k per batch
         return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
                          "score": pa.array(sc[order], pa.float64())})
 
@@ -1817,7 +1817,7 @@ def q_bm25_topk(sf_dir: str):
                                     batch_size=2048))
     ids = parts.column("doc_id").to_numpy()
     sc = parts.column("score").to_numpy()
-    order = np.lexsort((ids, -sc))[:_BM25_K]
+    order = np.lexsort((ids, -sc))[:k]
     return pa.table(
         {"doc_id": pa.array(ids[order], pa.int64()),
          "score": pa.array(sc[order], pa.float64()),
@@ -1825,11 +1825,83 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
-def _bm25_oracle_sql() -> str:
-    """SQL re-derivation of q_bm25_topk. The per-doc score is an EXPLICIT
-    sum of one subexpression per query term (conditional-count pivot), in
-    the same fixed term order as the Ray kernel — SUM() over join rows
-    would add in engine order and float addition is not associative."""
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval for the fixed query — see _bm25_rank."""
+    return _bm25_rank(sf_dir, _BM25_K)
+
+
+# RRF (Cormack/Clarke/Büttcher 2009): rank-only fusion, standard C=60.
+_HYB_POOL = 50
+_HYB_K = 10
+_RRF_C = 60
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval — RRF fusion of the BM25 lexical leg (fixed query
+    terms over documents) and the embedding-cosine vector leg (vs the
+    vec_id=0 query; vec_id aligns 1:1 with doc_id in the corpus). Each leg
+    is the established streaming shape (per-batch local top-pool, driver
+    merges n_batches*pool rows); fusion itself touches only 2*pool rows.
+    RRF = 1/(C+rank_lex) + 1/(C+rank_vec), a missing leg contributing 0 —
+    rank-only fusion, so no cross-engine float hazards beyond the fixed
+    two-term sum (lex first, mirrored in the oracle)."""
+    lex = _bm25_rank(sf_dir, _HYB_POOL)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    query = np.asarray(
+        q0.filter(pc.equal(q0.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    query_ref = ray.put(query)
+
+    def topk(t: pa.Table) -> pa.Table:
+        from .functions.ann import batch_topk, embedding_matrix
+
+        q = ray.get(query_ref)
+        ids = t.column("vec_id").to_numpy()
+        mat = embedding_matrix(t)
+        bi, bs = batch_topk(ids, mat, q, _HYB_POOL)
+        bs = _round6_half_away(bs)  # rank on ROUND-6 cos (DuckDB parity)
+        order = np.lexsort((bi, -bs))
+        return pa.table({"doc_id": pa.array(bi[order], pa.int64()),
+                         "cos": pa.array(bs[order], pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = _collect(ds.map_batches(topk, batch_format="pyarrow",
+                                    batch_size=4096))
+    vids = parts.column("doc_id").to_numpy()
+    vcos = parts.column("cos").to_numpy()
+    vorder = np.lexsort((vids, -vcos))[:_HYB_POOL]
+
+    lex_rank = dict(zip(lex.column("doc_id").to_pylist(),
+                        lex.column("rank").to_pylist()))
+    vec_rank = {int(vids[i]): r + 1 for r, i in enumerate(vorder)}
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (_RRF_C + lex_rank[d])
+        if d in vec_rank:
+            s += 1.0 / (_RRF_C + vec_rank[d])
+        fused[d] = s
+    docs = np.array(sorted(fused), dtype=np.int64)
+    scores = np.array([fused[int(d)] for d in docs], dtype=np.float64)
+    order = np.lexsort((docs, -scores))[:_HYB_K]
+    return pa.table(
+        {"doc_id": pa.array(docs[order], pa.int64()),
+         "rrf": pa.array(_round6_half_away(scores[order]), pa.float64()),
+         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())}
+    )
+
+
+def _bm25_sql_cte(k: int) -> str:
+    """CTE block re-deriving _bm25_rank, ending in relation
+    ``bm25r(doc_id, score, rank)`` with rank <= k. The per-doc score is an
+    EXPLICIT sum of one subexpression per query term (conditional-count
+    pivot), in the same fixed term order as the Ray kernel — SUM() over
+    join rows would add in engine order and float addition is not
+    associative."""
     k1, b = _BM25_K1, _BM25_B
     tf_cols = ",\n                   ".join(
         f"CAST(COUNT(*) FILTER (token = '{t}') AS DOUBLE) AS tf{i}"
@@ -1850,7 +1922,7 @@ def _bm25_oracle_sql() -> str:
         for i in range(len(_BM25_QUERY))
     )
     return f"""
-        WITH t AS (
+        t AS (
             SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
         ),
         dl AS (
@@ -1868,13 +1940,55 @@ def _bm25_oracle_sql() -> str:
                    ROUND({score_terms}, 6) AS score
             FROM tfp JOIN dl USING (doc_id), m, a
         ),
-        r AS (
+        bm25r AS (
             SELECT doc_id, score,
-                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
             FROM sc WHERE score > 0
+            QUALIFY rank <= {k}
+        )"""
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+        WITH {_bm25_sql_cte(_BM25_K)}
+        SELECT doc_id, score, rank FROM bm25r ORDER BY rank
+    """
+
+
+def _hybrid_oracle_sql() -> str:
+    """SQL re-derivation of q_hybrid_search: the shared BM25 CTE block at
+    pool size, a rounded-cosine vector leg (CAST to DOUBLE[] — DuckDB's
+    list_cosine_similarity computes in float32 on FLOAT[] columns), and a
+    full outer join fused with the lexical term first."""
+    return f"""
+        WITH {_bm25_sql_cte(_HYB_POOL)},
+        vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+        vs AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+            FROM embeddings, vq
+        ),
+        vr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                        AS BIGINT) AS vrank
+            FROM vs
+            QUALIFY vrank <= {_HYB_POOL}
+        ),
+        f AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   COALESCE(1.0 / ({_RRF_C} + l.rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_C} + v.vrank), 0.0) AS raw
+            FROM bm25r l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id
         )
-        SELECT doc_id, score, CAST(rn AS BIGINT) AS rank
-        FROM r WHERE rn <= {_BM25_K} ORDER BY rank
+        SELECT doc_id, ROUND(raw, 6) AS rrf,
+               CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM f
+        ORDER BY raw DESC, doc_id LIMIT {_HYB_K}
     """
 
 
@@ -4300,6 +4414,7 @@ def build_queries() -> dict[str, Callable]:
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "hybrid_search": q_hybrid_search,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -4690,6 +4805,7 @@ def build_oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= {_TFIDF_K} ORDER BY doc_id, rank
         """,
         "bm25_topk": _bm25_oracle_sql(),
+        "hybrid_search": _hybrid_oracle_sql(),
         "unigram_logprob": f"""
             WITH {_SQL_ALP_BLOCK}
             SELECT doc_id, avg_logprob FROM alp ORDER BY doc_id

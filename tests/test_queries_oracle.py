@@ -112,6 +112,7 @@ SQL_CHECKED = [
     "inverted_index",
     "tfidf_topk",
     "bm25_topk",
+    "hybrid_search",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
