@@ -1992,6 +1992,132 @@ def _hybrid_oracle_sql() -> str:
     """
 
 
+# interpolated bigram LM (CCNet-style quality signal, one order up from
+# unigram_logprob): lambda weights bigram vs unigram backoff
+_BG_LAMBDA = 0.7
+_BG_SEP = "\x01"  # pair separator: chr(1), NOT Python-whitespace (chr(31) is)
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc average INTERPOLATED bigram log-probability under the
+    corpus's own LM — lp(i) = ln(λ·c(w₋₁w)/c(w₋₁) + (1−λ)·tf(w)/total),
+    averaged over bigram positions; docs with <2 tokens score 0. Three
+    phases, all corpus-sublinear: (1) the unigram combiner pipeline
+    (`_vocab_table` — vocab-sized partials); (2) a bigram combiner emits
+    per-batch (pair, count) partials into ONE groupby shuffle whose row
+    count is bounded by the observed-bigram vocabulary, not the token
+    stream; (3) both model tables broadcast once via ray.put and one
+    streaming pass scores docs vectorized (bincount-by-doc over the flat
+    bigram stream — no per-doc loop). At a scale where the bigram table
+    outgrows broadcast, phase 3 becomes a reduce-side join on the pair key
+    (the decontaminate precedent); the corpus-sublinear shuffles are
+    unchanged."""
+    from .functions import hygiene as hy
+    from .functions.hygiene import _concat_grams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_table(ds)
+    total = float(pc.sum(vocab.column("tf")).as_py() or 0)
+    tf_map = dict(zip(vocab.column("token").to_pylist(),
+                      (float(x) for x in vocab.column("tf").to_pylist())))
+
+    def bigram_combiner(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        lens = np.diff(offsets)
+        # starts of bigrams: every position except each doc's last token
+        n_bi = np.maximum(lens - 1, 0)
+        starts = np.repeat(offsets[:-1], n_bi) + _ragged_aranges(n_bi)
+        pairs = _concat_grams(flat, starts, 2, sep=_BG_SEP)
+        u, c = np.unique(pairs, return_counts=True)
+        return pa.table({"pair": pa.array(u, pa.string()),
+                         "n_p": pa.array(c, pa.int64())})
+
+    bigrams = _collect(
+        ds.map_batches(bigram_combiner, batch_format="pyarrow",
+                       batch_size=2048)
+        .groupby("pair").aggregate(Sum("n_p", alias_name="n"))
+    )
+    bg_map = dict(zip(bigrams.column("pair").to_pylist(),
+                      (float(x) for x in bigrams.column("n").to_pylist())))
+    model_ref = ray.put((tf_map, bg_map, total))
+    lam = _BG_LAMBDA
+
+    def score(t: pa.Table) -> pa.Table:
+        tfm, bgm, tot = ray.get(model_ref)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        lens = np.diff(offsets)
+        n_bi = np.maximum(lens - 1, 0)
+        starts = np.repeat(offsets[:-1], n_bi) + _ragged_aranges(n_bi)
+        rows = np.repeat(np.arange(len(ids)), n_bi)
+        pairs = _concat_grams(flat, starts, 2, sep=_BG_SEP)
+        s = pd.Series(pairs)
+        nb = s.map(bgm).to_numpy(dtype=np.float64)
+        tf1 = pd.Series(flat[starts]).map(tfm).to_numpy(dtype=np.float64)
+        tf2 = pd.Series(flat[starts + 1]).map(tfm).to_numpy(dtype=np.float64)
+        lp = np.log(lam * nb / tf1 + (1.0 - lam) * tf2 / tot)
+        sums = np.bincount(rows, weights=lp, minlength=len(ids))
+        alp = np.where(n_bi > 0, sums / np.maximum(n_bi, 1), 0.0)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "bigram_logprob": pa.array(_round6_half_away(alp), pa.float64())}
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by("doc_id")
+
+
+def _ragged_aranges(lens: np.ndarray) -> np.ndarray:
+    """concatenate([arange(l) for l in lens]) without the Python loop:
+    global arange minus each element's own segment start (zero-length
+    segments drop out of the repeat naturally)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    return np.arange(total, dtype=np.int64) - starts
+
+
+def _bigram_oracle_sql() -> str:
+    """SQL re-derivation of q_bigram_logprob: adjacent pairs via the
+    generate_series/list_transform pattern (bpe_pair_counts precedent),
+    interpolation expression written in the Ray kernel's operation order."""
+    lam = _BG_LAMBDA
+    return f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+        tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+        d2 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        bp AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                   )) AS pr
+            FROM d2 WHERE len(toks) > 1
+        ),
+        bpp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM bp),
+        bg AS (SELECT w1, w2, COUNT(*) AS n FROM bpp GROUP BY w1, w2),
+        sc AS (
+            SELECT bpp.doc_id,
+                   AVG(ln({lam} * bg.n / f1.tf
+                          + {1.0 - lam} * f2.tf / tot.tot)) AS alp
+            FROM bpp
+            JOIN bg USING (w1, w2)
+            JOIN f f1 ON f1.token = bpp.w1
+            JOIN f f2 ON f2.token = bpp.w2
+            CROSS JOIN tot
+            GROUP BY bpp.doc_id
+        )
+        SELECT d.doc_id, ROUND(COALESCE(sc.alp, 0.0), 6) AS bigram_logprob
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 # funnel thresholds: chosen so each stage drops documents on the sf corpora
 _FUNNEL_QUALITY = 0.6
 _FUNNEL_DUP_BI = 0.05
@@ -4415,6 +4541,7 @@ def build_queries() -> dict[str, Callable]:
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
+        "bigram_logprob": q_bigram_logprob,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -4806,6 +4933,7 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle_sql(),
         "hybrid_search": _hybrid_oracle_sql(),
+        "bigram_logprob": _bigram_oracle_sql(),
         "unigram_logprob": f"""
             WITH {_SQL_ALP_BLOCK}
             SELECT doc_id, avg_logprob FROM alp ORDER BY doc_id

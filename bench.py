@@ -322,7 +322,7 @@ def bench_queries() -> dict[str, float]:
         "recrawl_priority", "vocab_build", "char_entropy",
         "containment_pairs", "semantic_dedup", "importance_sample",
         "streaming_window", "perplexity_buckets", "doc_chunks",
-        "value_outliers", "bm25_topk", "hybrid_search",
+        "value_outliers", "bm25_topk", "hybrid_search", "bigram_logprob",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

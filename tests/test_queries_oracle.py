@@ -113,6 +113,7 @@ SQL_CHECKED = [
     "tfidf_topk",
     "bm25_topk",
     "hybrid_search",
+    "bigram_logprob",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
