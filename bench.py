@@ -494,6 +494,7 @@ HEADROOM_ENTRIES = [
     "dedup_exact", "minhash_dedup", "simhash_dedup",
     "corpus_build", "containment_pairs", "bigjoin_priority",
     "heavy_hitters", "tfidf_topk", "semantic_dedup", "importance_sample",
+    "bm25_topk", "bigram_logprob",
 ]
 
 
