@@ -2118,6 +2118,77 @@ def _bigram_oracle_sql() -> str:
     """
 
 
+# weighted sampling without replacement (Efraimidis–Spirakis 2006, A-Res):
+# key = ln(u)/w, take the k largest. u is closed-form splitmix64(doc_id) so
+# the oracle re-derives the "randomness"; weight = token count (the
+# length-proportional draw corpus mixing uses).
+_WS_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Distributed weighted sampling without replacement — the A-Res
+    reservoir in its distributed form: ONE streaming pass computes
+    key = ln((splitmix64(doc_id)+1)/2^64) / n_tokens per doc and keeps a
+    local top-k per batch; the driver merges n_batches*k rows. No shuffle
+    at any corpus size. Zero-weight (empty) docs are excluded — they can
+    never be drawn. Ranking uses the ROUND-6 key with doc_id tiebreak
+    (tolerates sub-ulp libm ln differences across engines)."""
+    from .functions.sketch import splitmix64
+    from .functions import text as _tx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        w = np.asarray(_tx.token_counts(texts), dtype=np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        u = (splitmix64(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+        key = _round6_half_away(np.log(u) / w.astype(np.float64))
+        order = np.lexsort((ids, -key))[:_WS_K]  # local top-k per batch
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "weight": pa.array(w[order], pa.int64()),
+                         "key": pa.array(key[order], pa.float64())})
+
+    parts = _collect(ds.map_batches(f, batch_format="pyarrow",
+                                    batch_size=2048))
+    ids = parts.column("doc_id").to_numpy()
+    w = parts.column("weight").to_numpy()
+    key = parts.column("key").to_numpy()
+    order = np.lexsort((ids, -key))[:_WS_K]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.int64()),
+         "weight": pa.array(w[order], pa.int64()),
+         "key": pa.array(key[order], pa.float64()),
+         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())}
+    )
+
+
+def _weighted_sample_oracle_sql() -> str:
+    from .functions import strhash as _SH
+
+    sm = _SH.sql_splitmix64("doc_id")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, len({_TOKENS}) AS w FROM documents
+        ),
+        h AS (
+            SELECT doc_id, w, ({sm})::UBIGINT AS sm FROM t WHERE w > 0
+        ),
+        k AS (
+            SELECT doc_id, CAST(w AS BIGINT) AS weight,
+                   ROUND(ln((sm::DOUBLE + 1.0) / 18446744073709551616.0)
+                         / w, 6) AS key
+            FROM h
+        )
+        SELECT doc_id, weight, key,
+               CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM k ORDER BY key DESC, doc_id LIMIT {_WS_K}
+    """
+
+
 # funnel thresholds: chosen so each stage drops documents on the sf corpora
 _FUNNEL_QUALITY = 0.6
 _FUNNEL_DUP_BI = 0.05
@@ -4542,6 +4613,7 @@ def build_queries() -> dict[str, Callable]:
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
         "bigram_logprob": q_bigram_logprob,
+        "weighted_sample": q_weighted_sample,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -4934,6 +5006,7 @@ def build_oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "hybrid_search": _hybrid_oracle_sql(),
         "bigram_logprob": _bigram_oracle_sql(),
+        "weighted_sample": _weighted_sample_oracle_sql(),
         "unigram_logprob": f"""
             WITH {_SQL_ALP_BLOCK}
             SELECT doc_id, avg_logprob FROM alp ORDER BY doc_id

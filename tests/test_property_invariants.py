@@ -170,3 +170,20 @@ def test_largest_remainder_quota_laws(counts, n_target):
         assert exact - 1 < q[s] < exact + 1 + 1e-9
     # determinism
     assert q == largest_remainder_quotas(dict(counts), n_target)
+
+
+# ---------------------------------------------------------------------------
+# _ragged_aranges: vectorized concatenate-of-aranges, incl. zero-length runs
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 12), max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_ragged_aranges_matches_loop(lens):
+    import numpy as np
+    from anycrawl_ray.queries import _ragged_aranges
+
+    got = _ragged_aranges(np.asarray(lens, dtype=np.int64))
+    want = (np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+            if lens and sum(lens) else np.zeros(0, dtype=np.int64))
+    assert got.dtype == np.int64
+    assert np.array_equal(got, want)

@@ -114,6 +114,7 @@ SQL_CHECKED = [
     "bm25_topk",
     "hybrid_search",
     "bigram_logprob",
+    "weighted_sample",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
