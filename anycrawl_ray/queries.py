@@ -2189,6 +2189,55 @@ def _weighted_sample_oracle_sql() -> str:
     """
 
 
+def q_quality_percentile(sf_dir: str):
+    """Percentile normalization of the quality score (the way filtering
+    thresholds are actually chosen: 'drop the bottom 10%') — WITHOUT a
+    global sort. The rounded score has bounded cardinality, so (1) a
+    per-batch combiner emits distinct-(score, count) partials into one
+    tiny groupby shuffle; (2) the driver folds the histogram into a
+    below-count map (docs with strictly smaller score), broadcast once;
+    (3) one streaming pass maps score → pct = below/(N-1) — PERCENT_RANK
+    semantics, ties share a rank. Scores are keyed as int64 micro-units
+    so float equality never decides a group."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        s = _round6_half_away(tx.quality_scores(texts))
+        si = np.rint(s * 1e6).astype(np.int64)
+        u, c = np.unique(si, return_counts=True)
+        return pa.table({"s_micro": pa.array(u, pa.int64()),
+                         "n_p": pa.array(c, pa.int64())})
+
+    hist = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("s_micro").aggregate(Sum("n_p", alias_name="n"))
+    ).sort_by("s_micro")
+    sv = hist.column("s_micro").to_numpy()
+    cnt = hist.column("n").to_numpy()
+    n_total = int(cnt.sum())
+    below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    below_map = {int(k): int(v) for k, v in zip(sv, below)}
+    bref = ray.put((below_map, n_total))
+
+    def f(t: pa.Table) -> pa.Table:
+        bm, n = ray.get(bref)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").combine_chunks()
+        s = _round6_half_away(tx.quality_scores(texts))
+        si = np.rint(s * 1e6).astype(np.int64)
+        b = pd.Series(si).map(bm).to_numpy(dtype=np.float64)
+        pct = b / (n - 1) if n > 1 else np.zeros(len(ids))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "score": pa.array(s, pa.float64()),
+             "pct": pa.array(_round6_half_away(pct), pa.float64())}
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return _collect(out).sort_by("doc_id")
+
+
 # funnel thresholds: chosen so each stage drops documents on the sf corpora
 _FUNNEL_QUALITY = 0.6
 _FUNNEL_DUP_BI = 0.05
@@ -4614,6 +4663,7 @@ def build_queries() -> dict[str, Callable]:
         "hybrid_search": q_hybrid_search,
         "bigram_logprob": q_bigram_logprob,
         "weighted_sample": q_weighted_sample,
+        "quality_percentile": q_quality_percentile,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -4954,6 +5004,12 @@ def build_oracle_sql() -> dict[str, str]:
         "quality_score": f"""
             SELECT doc_id, {quality_expr} AS score
             FROM documents ORDER BY doc_id
+        """,
+        "quality_percentile": f"""
+            WITH s AS (SELECT doc_id, {quality_expr} AS score FROM documents)
+            SELECT doc_id, score,
+                   ROUND(PERCENT_RANK() OVER (ORDER BY score), 6) AS pct
+            FROM s ORDER BY doc_id
         """,
         "sequence_pack": f"""
             WITH t AS (SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents),

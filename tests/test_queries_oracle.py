@@ -115,6 +115,7 @@ SQL_CHECKED = [
     "hybrid_search",
     "bigram_logprob",
     "weighted_sample",
+    "quality_percentile",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
