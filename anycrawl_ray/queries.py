@@ -2189,6 +2189,93 @@ def _weighted_sample_oracle_sql() -> str:
     """
 
 
+# PMI collocations (Church & Hanks 1990): min pair count guards the
+# low-frequency PMI blow-up; k pairs reported
+_PMI_MIN = 5
+_PMI_K = 30
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI = ln(c(w1w2)·total / (c(w1)·c(w2))), pairs with count ≥ {min}.
+    Same corpus-sublinear shape as bigram_logprob: combiner partials into
+    one observed-bigram-sized shuffle; the unigram table broadcasts once
+    and PMI + a local top-k run per batch OVER THE BIGRAM TABLE, so the
+    driver merges n_batches*k rows, never the bigram vocabulary."""
+    from .functions import hygiene as hy
+    from .functions.hygiene import _concat_grams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_table(ds)
+    total = float(pc.sum(vocab.column("tf")).as_py() or 0)
+    tf_map = dict(zip(vocab.column("token").to_pylist(),
+                      (float(x) for x in vocab.column("tf").to_pylist())))
+    tf_ref = ray.put(tf_map)
+
+    def bigram_combiner(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        flat, offsets = hy.nonempty_tokens(texts)
+        n_bi = np.maximum(np.diff(offsets) - 1, 0)
+        starts = np.repeat(offsets[:-1], n_bi) + _ragged_aranges(n_bi)
+        pairs = _concat_grams(flat, starts, 2, sep=_BG_SEP)
+        u, c = np.unique(pairs, return_counts=True)
+        return pa.table({"pair": pa.array(u, pa.string()),
+                         "n_p": pa.array(c, pa.int64())})
+
+    bigrams = (
+        ds.map_batches(bigram_combiner, batch_format="pyarrow",
+                       batch_size=2048)
+        .groupby("pair").aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tfm = ray.get(tf_ref)
+        n = t.column("n").to_numpy().astype(np.float64)
+        keep = n >= _PMI_MIN
+        s = pd.Series(t.column("pair").to_pylist())[keep]
+        n = n[keep]
+        parts3 = s.str.partition(_BG_SEP)
+        w1 = parts3[0].to_numpy()
+        w2 = parts3[2].to_numpy()
+        tf1 = pd.Series(w1).map(tfm).to_numpy(dtype=np.float64)
+        tf2 = pd.Series(w2).map(tfm).to_numpy(dtype=np.float64)
+        pmi = _round6_half_away(np.log((n * total) / (tf1 * tf2)))
+        order = np.lexsort((w2, w1, -pmi))[:_PMI_K]  # local top-k
+        return pa.table(
+            {"w1": pa.array(w1[order], pa.string()),
+             "w2": pa.array(w2[order], pa.string()),
+             "n": pa.array(n[order].astype(np.int64), pa.int64()),
+             "pmi": pa.array(pmi[order], pa.float64())}
+        )
+
+    parts = _collect(score_empty_safe(bigrams, score))
+    w1 = parts.column("w1").to_numpy(zero_copy_only=False)
+    w2 = parts.column("w2").to_numpy(zero_copy_only=False)
+    n = parts.column("n").to_numpy()
+    pmi = parts.column("pmi").to_numpy()
+    order = np.lexsort((w2, w1, -pmi))[:_PMI_K]
+    return pa.table(
+        {"w1": pa.array(w1[order], pa.string()),
+         "w2": pa.array(w2[order], pa.string()),
+         "n": pa.array(n[order], pa.int64()),
+         "pmi": pa.array(pmi[order], pa.float64()),
+         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())}
+    )
+
+
+def score_empty_safe(ds_in, fn):
+    """map_batches wrapper that tolerates empty batches (a groupby output
+    block can be empty after a filter)."""
+    def g(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        return fn(t)
+    return ds_in.map_batches(g, batch_format="pyarrow", batch_size=8192)
+
+
 def q_quality_percentile(sf_dir: str):
     """Percentile normalization of the quality score (the way filtering
     thresholds are actually chosen: 'drop the bottom 10%') — WITHOUT a
@@ -4664,6 +4751,7 @@ def build_queries() -> dict[str, Callable]:
         "bigram_logprob": q_bigram_logprob,
         "weighted_sample": q_weighted_sample,
         "quality_percentile": q_quality_percentile,
+        "pmi_pairs": q_pmi_pairs,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -5063,6 +5151,39 @@ def build_oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_oracle_sql(),
         "bigram_logprob": _bigram_oracle_sql(),
         "weighted_sample": _weighted_sample_oracle_sql(),
+        "pmi_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+            ),
+            f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+            d2 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            bp AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                )) AS pr
+                FROM d2 WHERE len(toks) > 1
+            ),
+            bpp AS (SELECT pr.w1 AS w1, pr.w2 AS w2 FROM bp),
+            bg AS (
+                SELECT w1, w2, COUNT(*) AS n FROM bpp GROUP BY w1, w2
+                HAVING COUNT(*) >= {_PMI_MIN}
+            ),
+            p AS (
+                SELECT bg.w1, bg.w2, CAST(bg.n AS BIGINT) AS n,
+                       ROUND(ln((CAST(bg.n AS DOUBLE) * tot.tot)
+                                / (CAST(f1.tf AS DOUBLE) * f2.tf)), 6) AS pmi
+                FROM bg
+                JOIN f f1 ON f1.token = bg.w1
+                JOIN f f2 ON f2.token = bg.w2
+                CROSS JOIN tot
+            )
+            SELECT w1, w2, n, pmi,
+                   CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2)
+                        AS BIGINT) AS rank
+            FROM p ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_K}
+        """,
         "unigram_logprob": f"""
             WITH {_SQL_ALP_BLOCK}
             SELECT doc_id, avg_logprob FROM alp ORDER BY doc_id

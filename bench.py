@@ -323,7 +323,7 @@ def bench_queries() -> dict[str, float]:
         "containment_pairs", "semantic_dedup", "importance_sample",
         "streaming_window", "perplexity_buckets", "doc_chunks",
         "value_outliers", "bm25_topk", "hybrid_search", "bigram_logprob",
-        "weighted_sample", "quality_percentile",
+        "weighted_sample", "quality_percentile", "pmi_pairs",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

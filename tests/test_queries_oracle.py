@@ -116,6 +116,7 @@ SQL_CHECKED = [
     "bigram_logprob",
     "weighted_sample",
     "quality_percentile",
+    "pmi_pairs",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
