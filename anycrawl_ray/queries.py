@@ -2189,6 +2189,103 @@ def _weighted_sample_oracle_sql() -> str:
     """
 
 
+def q_centroid_classify(sf_dir: str):
+    """Nearest-centroid classification over the labeled embedding corpus —
+    the probing/eval shape (fit per-label mean embeddings, classify every
+    vector, report prediction + confidence). Phase 1 is the kmeans
+    sufficient-statistics discipline: per-batch (label, count, sum-vector)
+    partials into a groupby("label") fold whose within-label float sums
+    run in batch-id-sorted order (deterministic regardless of shuffle
+    arrival); the shuffle carries n_labels×n_batches rows, never vectors.
+    Phase 2 broadcasts the (n_labels, d) centroid matrix once and assigns
+    every vector with one matmul per batch — argmax of the ROUND-6 cosine,
+    ties to the lowest label (mirrored in the oracle's window rule)."""
+    from .functions.ann import embedding_matrix
+    from .functions.dedup import l2_normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = embedding_matrix(t)
+        labels = t.column("label").to_numpy().astype(np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        bid = int(t.column("vec_id").to_numpy().min()) if t.num_rows else 0
+        return pa.table(
+            {"label": pa.array(u, pa.int64()),
+             "bid": pa.array(np.full(len(u), bid), pa.int64()),
+             "n": pa.array(counts, pa.int64()),
+             "s": pa.array(sums.tolist(), pa.list_(pa.float64()))}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = np.argsort(g.column("bid").to_numpy(), kind="stable")
+        smat = np.asarray(g.column("s").to_pylist(), dtype=np.float64)[order]
+        return pa.table(
+            {"label": pa.array([g.column("label")[0].as_py()], pa.int64()),
+             "n": pa.array([int(g.column("n").to_numpy().sum())], pa.int64()),
+             "s": pa.array([smat.sum(axis=0).tolist()],
+                           pa.list_(pa.float64()))}
+        )
+
+    folded = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("label").map_groups(fold, batch_format="pyarrow")
+    ).sort_by("label")
+    labs = folded.column("label").to_numpy()
+    n = folded.column("n").to_numpy().astype(np.float64)
+    sums = np.asarray(folded.column("s").to_pylist(), dtype=np.float64)
+    cents = l2_normalize(sums / n[:, None])
+    bcast = ray.put((labs, cents))
+
+    def assign(t: pa.Table) -> pa.Table:
+        lb, cn = ray.get(bcast)
+        mat = l2_normalize(embedding_matrix(t))
+        sims = _round6_half_away(mat @ cn.T)
+        a = np.argmax(sims, axis=1)  # first max = lowest label (lb sorted)
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "label": pa.array(
+                 t.column("label").to_numpy().astype(np.int64), pa.int64()),
+             "pred": pa.array(lb[a], pa.int64()),
+             "cos": pa.array(sims[np.arange(len(a)), a], pa.float64())}
+        )
+
+    out = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    return _collect(out).sort_by("vec_id")
+
+
+def _centroid_classify_oracle_sql(d: int = 64) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        u AS (
+            SELECT label, gs.d AS d, AVG(v[gs.d]) AS c
+            FROM e, generate_series(1, {d}) AS gs(d)
+            GROUP BY label, gs.d
+        ),
+        cent AS (SELECT label, list(c ORDER BY d) AS cv FROM u GROUP BY label),
+        s AS (
+            SELECT e.vec_id, e.label, cent.label AS plabel,
+                   ROUND(list_cosine_similarity(e.v, cent.cv), 6) AS cos
+            FROM e, cent
+        ),
+        r AS (
+            SELECT vec_id, label, plabel, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, plabel) AS rn
+            FROM s
+        )
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(plabel AS BIGINT) AS pred, cos
+        FROM r WHERE rn = 1 ORDER BY vec_id
+    """
+
+
 # PMI collocations (Church & Hanks 1990): min pair count guards the
 # low-frequency PMI blow-up; k pairs reported
 _PMI_MIN = 5
@@ -4752,6 +4849,7 @@ def build_queries() -> dict[str, Callable]:
         "weighted_sample": q_weighted_sample,
         "quality_percentile": q_quality_percentile,
         "pmi_pairs": q_pmi_pairs,
+        "centroid_classify": q_centroid_classify,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -5151,6 +5249,7 @@ def build_oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_oracle_sql(),
         "bigram_logprob": _bigram_oracle_sql(),
         "weighted_sample": _weighted_sample_oracle_sql(),
+        "centroid_classify": _centroid_classify_oracle_sql(),
         "pmi_pairs": f"""
             WITH t AS (
                 SELECT doc_id, unnest({_TOKENS}) AS token FROM documents

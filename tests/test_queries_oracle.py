@@ -117,6 +117,7 @@ SQL_CHECKED = [
     "weighted_sample",
     "quality_percentile",
     "pmi_pairs",
+    "centroid_classify",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
