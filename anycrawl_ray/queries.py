@@ -3490,6 +3490,108 @@ def q_knn_join(sf_dir: str):
         .sort_by([("q_id", "ascending"), ("vec_id", "ascending")])
 
 
+_KNNC_NQ = 100
+_KNNC_K = 10
+
+
+def q_knn_classify(sf_dir: str):
+    """kNN majority-vote classification eval (the non-parametric companion
+    to centroid_classify): the first {nq} vectors classify against the
+    whole corpus, self excluded. Same streaming shape as knn_join — the
+    (nq, d) normalized query matrix broadcasts once, each batch does ONE
+    matmul and keeps a local top-k per query, the driver merges
+    n_batches×nq×k tiny rows, votes over each query's global top-k
+    (tiebreak: more votes, then lowest label). Neighbor ranking key is
+    (round6 cos DESC, vec_id ASC) on both engines."""
+    from .functions.ann import embedding_matrix
+    from .functions.dedup import l2_normalize
+
+    nq, k = _KNNC_NQ, _KNNC_K
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding", "label"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), nq)).sort_by("vec_id")
+    qn = l2_normalize(embedding_matrix(qt))
+    q_ids = qt.column("vec_id").to_numpy()
+    q_labels = qt.column("label").to_numpy().astype(np.int64)
+    bcast = ray.put((q_ids, qn))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(bcast)
+        ids = t.column("vec_id").to_numpy()
+        labs = t.column("label").to_numpy().astype(np.int64)
+        sims = l2_normalize(embedding_matrix(t)) @ qm.T  # (B, nq)
+        out_q, out_v, out_l, out_c = [], [], [], []
+        for j in range(qm.shape[0]):
+            c6 = _round6_half_away(sims[:, j])
+            c6[ids == qi[j]] = -np.inf  # self never a neighbor
+            order = np.lexsort((ids, -c6))[:k]
+            out_q.extend([j] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_l.extend(labs[order].tolist())
+            out_c.extend(c6[order].tolist())
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "n_label": pa.array(out_l, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=4096)).to_pandas()
+    preds = np.zeros(len(q_ids), dtype=np.int64)
+    votes = np.zeros(len(q_ids), dtype=np.int64)
+    for j in range(len(q_ids)):
+        sub = parts[parts["qj"] == j]
+        order = np.lexsort(
+            (sub["vec_id"].to_numpy(), -sub["cos"].to_numpy()))[:k]
+        top_labels = sub["n_label"].to_numpy()[order]
+        u, c = np.unique(top_labels, return_counts=True)
+        w = np.lexsort((u, -c))[0]  # more votes, then lowest label
+        preds[j], votes[j] = u[w], c[w]
+    return pa.table(
+        {"q_id": pa.array(q_ids, pa.int64()),
+         "label": pa.array(q_labels, pa.int64()),
+         "pred": pa.array(preds, pa.int64()),
+         "votes": pa.array(votes, pa.int64())}
+    )
+
+
+def _knn_classify_oracle_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id < {_KNNC_NQ}),
+        s AS (
+            SELECT q.vec_id AS q_id, q.label AS qlabel,
+                   e.vec_id AS n_id, e.label AS n_label,
+                   ROUND(list_cosine_similarity(q.v, e.v), 6) AS cos
+            FROM q JOIN e ON e.vec_id <> q.vec_id
+        ),
+        r AS (
+            SELECT q_id, qlabel, n_id, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS rn
+            FROM s
+        ),
+        v AS (
+            SELECT q_id, qlabel, n_label, COUNT(*) AS votes
+            FROM r WHERE rn <= {_KNNC_K}
+            GROUP BY q_id, qlabel, n_label
+        ),
+        w AS (
+            SELECT q_id, qlabel, n_label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY votes DESC, n_label) AS rn
+            FROM v
+        )
+        SELECT q_id, CAST(qlabel AS BIGINT) AS label,
+               CAST(n_label AS BIGINT) AS pred,
+               CAST(votes AS BIGINT) AS votes
+        FROM w WHERE rn = 1 ORDER BY q_id
+    """
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """Tokenizer-training primitive: the exact top-20 adjacent token pairs
     (one BPE merge-selection round) WITHOUT a pair-vocabulary shuffle —
@@ -4850,6 +4952,7 @@ def build_queries() -> dict[str, Callable]:
         "quality_percentile": q_quality_percentile,
         "pmi_pairs": q_pmi_pairs,
         "centroid_classify": q_centroid_classify,
+        "knn_classify": q_knn_classify,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "streaming_window": q_streaming_window,
@@ -5250,6 +5353,7 @@ def build_oracle_sql() -> dict[str, str]:
         "bigram_logprob": _bigram_oracle_sql(),
         "weighted_sample": _weighted_sample_oracle_sql(),
         "centroid_classify": _centroid_classify_oracle_sql(),
+        "knn_classify": _knn_classify_oracle_sql(),
         "pmi_pairs": f"""
             WITH t AS (
                 SELECT doc_id, unnest({_TOKENS}) AS token FROM documents

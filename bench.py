@@ -324,7 +324,7 @@ def bench_queries() -> dict[str, float]:
         "streaming_window", "perplexity_buckets", "doc_chunks",
         "value_outliers", "bm25_topk", "hybrid_search", "bigram_logprob",
         "weighted_sample", "quality_percentile", "pmi_pairs",
-        "centroid_classify",
+        "centroid_classify", "knn_classify",
     ]
     reg = q.build_queries()
     out: dict[str, float] = {}

@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "quality_percentile",
     "pmi_pairs",
     "centroid_classify",
+    "knn_classify",
     "unigram_logprob",
     "perplexity_buckets",
     "streaming_window",
