@@ -4897,6 +4897,334 @@ def q_search_scrape(sf_dir: str):
     return search_scrape(corpus, urls, limit=45)
 
 
+_STAR_REGION = "ASIA"
+_STAR_LO = np.datetime64("1996-01-01", "us")
+_STAR_HI = np.datetime64("1998-01-01", "us")
+
+
+def q_star_join(sf_dir: str):
+    """TPC-H Q5-shape star join — lineitem x orders x customer x nation x
+    region: revenue per nation for customers in one region over a 2-year
+    order window. At 100 TB lineitem / orders / customer are ALL huge, so
+    the plan is two CHAINED reduce-side co-partitioned joins, each carrying
+    pre-reduced integer partials, with the tiny nation x region dimensions
+    broadcast as a plain lookup (25 rows — never a shuffle join):
+
+      stage 1 (key = orderkey): lineitem pre-reduces integer micro-revenue
+        round(ep*100) * (100 - round(disc*100)) per orderkey inside
+        map_batches (combiner — the shuffle carries one row per order, not
+        per line); orders filters the date window at the read and ships
+        (orderkey, custkey); one groupby("part") joins them and RE-reduces
+        per custkey, so the stage-2 exchange carries custkey partials.
+      stage 2 (key = custkey): customer filters to the region's nationkeys
+        (broadcast set) and ships (custkey, nationkey); a second
+        groupby("part") joins and reduces to (nationkey, micro_rev,
+        line_count) — <= |nations| x n_parts rows fold on the driver.
+
+    Revenue sums in EXACT int64 micro-units (prices/discounts carry 2
+    decimals) and divides by 10^4 once at the end, so the double result is
+    identical regardless of partial-sum order; the SQL oracle mirrors the
+    same integer arithmetic. Reference parity: the J2/J3 join family
+    (SURVEY.md §2.4) at big-big-big scale."""
+    import polars as pl
+
+    n_parts = default_n_parts()
+
+    def part_of(keys: np.ndarray) -> np.ndarray:
+        h = pl.Series(keys).hash(seed=4242)
+        return (h.to_numpy() % np.uint64(n_parts)).astype(np.int32)
+
+    # broadcast dim: nationkey -> name, region-filtered (25 rows)
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkeys = {r["r_regionkey"] for r in reg.to_pylist()
+             if r["r_name"] == _STAR_REGION}
+    nk_name = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+               if r["n_regionkey"] in rkeys}
+    nk_set = pa.array(sorted(nk_name), pa.int32())
+
+    def l_side(t: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        dk = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        micro = pc.multiply(ep, pc.subtract(pa.scalar(100), dk))
+        g = pa.table({"key": t.column("l_orderkey"), "micro": micro}).group_by(
+            "key").aggregate([("micro", "sum"), ("micro", "count")])
+        keys = g.column("key").to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "a": pc.cast(g.column("micro_sum"), pa.int64()),
+             "b": pc.cast(g.column("micro_count"), pa.int64())}
+        )
+
+    def o_side(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, pa.scalar(_STAR_LO)),
+                             pc.less(d, pa.scalar(_STAR_HI))))
+        keys = t.column("o_orderkey").to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "a": pc.cast(t.column("o_custkey"), pa.int64()),
+             "b": pa.array(np.zeros(len(keys), np.int64), pa.int64())}
+        )
+
+    def c_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("c_nationkey"), value_set=nk_set))
+        keys = t.column("c_custkey").to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "a": pc.cast(t.column("c_nationkey"), pa.int64()),
+             "b": pa.array(np.zeros(len(keys), np.int64), pa.int64())}
+        )
+
+    def join_orders(t: pa.Table) -> pa.Table:
+        """stage-1 kernel: (orderkey, micro, nlines) |x| (orderkey, custkey)
+        -> per-custkey partials keyed for the stage-2 exchange."""
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        lhs = df.filter(pl.col("side") == 0).select(
+            "key", pl.col("a").alias("micro"), pl.col("b").alias("nl"))
+        rhs = df.filter(pl.col("side") == 1).select(
+            "key", pl.col("a").alias("cust"))
+        j = lhs.join(rhs, on="key", how="inner").group_by("cust").agg(
+            pl.col("micro").sum(), pl.col("nl").sum())
+        cust = j["cust"].to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(cust), pa.int32()),
+             "side": pa.array(np.zeros(len(cust), np.int8), pa.int8()),
+             "key": pa.array(cust, pa.int64()),
+             "a": pa.array(j["micro"].to_numpy(), pa.int64()),
+             "b": pa.array(j["nl"].to_numpy(), pa.int64())}
+        )
+
+    def join_customer(t: pa.Table) -> pa.Table:
+        """stage-2 kernel: (custkey, micro, nlines) |x| (custkey, nationkey)
+        -> per-nation partials (<= |nations| rows per partition)."""
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        lhs = df.filter(pl.col("side") == 0).select(
+            "key", pl.col("a").alias("micro"), pl.col("b").alias("nl"))
+        rhs = df.filter(pl.col("side") == 1).select(
+            "key", pl.col("a").alias("nk"))
+        j = lhs.join(rhs, on="key", how="inner").group_by("nk").agg(
+            pl.col("micro").sum(), pl.col("nl").sum())
+        return j.to_arrow()
+
+    l_pre = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        l_side, batch_format="pyarrow")
+    o_pre = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_side, batch_format="pyarrow")
+    c_pre = _read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey"]).map_batches(
+        c_side, batch_format="pyarrow")
+
+    stage1 = l_pre.union(o_pre).groupby("part").map_groups(
+        join_orders, batch_format="pyarrow")
+    partials = _collect(stage1.union(c_pre).groupby("part").map_groups(
+        join_customer, batch_format="pyarrow"))
+
+    micro: dict[int, int] = {}
+    nl: dict[int, int] = {}
+    for row in partials.to_pylist():
+        micro[row["nk"]] = micro.get(row["nk"], 0) + row["micro"]
+        nl[row["nk"]] = nl.get(row["nk"], 0) + row["nl"]
+    nks = sorted(micro)
+    return pa.table(
+        {"n_name": pa.array([nk_name[k] for k in nks], pa.string()),
+         "revenue": pa.array([micro[k] / 10000.0 for k in nks], pa.float64()),
+         "line_count": pa.array([nl[k] for k in nks], pa.int64())}
+    )
+
+
+# RE2 on both sides: pyarrow's count_substring_regex / match_substring_regex
+# and DuckDB's regexp_* all compile RE2, so match semantics (incl. \b and
+# non-overlapping counting) agree exactly.
+_MENTION_PATTERNS = [
+    ("query_scan", r"\b(query|scan)\b"),
+    ("ow_words", r"\b[a-z]*ow\b"),
+    ("fast_slow_phrase", r"(fast|slow) (table|scan|merge)"),
+]
+
+
+def q_regex_mentions(sf_dir: str):
+    """Distributed regex mining over document text — the "grep at corpus
+    scale" staple (keyword/PII/URL mention counting). All patterns run as
+    vectorized RE2 kernels (pc.count_substring_regex /
+    match_substring_regex) inside ONE map_batches pass; each batch
+    pre-reduces to (lang, pattern) partials, so the groupby shuffle
+    carries |langs| x |patterns| x n_blocks rows — never one row per
+    match. Composite string key because the partial fold is a plain
+    two-column Sum."""
+    def counts(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        lang = t.column("lang")
+        parts = []
+        for name, pat in _MENTION_PATTERNS:
+            n = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            d = pc.cast(pc.match_substring_regex(text, pat), pa.int64())
+            key = pc.binary_join_element_wise(
+                lang, pa.scalar(name), "|")
+            parts.append(pa.table({"key": key, "n_p": n, "d_p": d}))
+        both = pa.concat_tables(parts)
+        return both.group_by("key").aggregate(
+            [("n_p", "sum"), ("d_p", "sum")]).rename_columns(
+            ["key", "n_p", "d_p"])
+
+    agg = _collect(
+        _read(sf_dir, "documents", ["text", "lang"]).map_batches(
+            counts, batch_format="pyarrow"
+        ).groupby("key").aggregate(
+            Sum("n_p", alias_name="n_matches"),
+            Sum("d_p", alias_name="n_docs"),
+        ))
+    keys = agg.column("key").to_pylist()
+    langs, pats = zip(*(k.split("|", 1) for k in keys)) if keys else ((), ())
+    out = pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "pattern": pa.array(pats, pa.string()),
+         "n_matches": pc.cast(agg.column("n_matches"), pa.int64()),
+         "n_docs": pc.cast(agg.column("n_docs"), pa.int64())}
+    )
+    return out.sort_by([("lang", "ascending"), ("pattern", "ascending")])
+
+
+_PCA_Q = 4
+
+
+def q_pca_project(sf_dir: str, q: int = _PCA_Q):
+    """Distributed PCA over the embedding table — the
+    whitening / projection stage an embedding-heavy corpus pipeline runs
+    before clustering or near-dup. Pass 1 emits per-block sufficient
+    statistics (n, sum-vector, flattened d x d outer-product sum): O(d^2)
+    floats per BLOCK regardless of row count, already combined inside
+    map_batches, and a single-key groupby folds them to ONE row — no
+    driver take_all of per-batch partials (the round-3 kmeans lesson).
+    The driver eigendecomposes the d x d covariance (trivial at d=64),
+    fixes eigenvector signs deterministically (largest-|component| made
+    positive), broadcasts (mu, V) once via ray.put, and pass 2 projects
+    every embedding to its top-q principal scores. Rows-only entry —
+    eigendecomposition is not SQL-expressible; tests pin numpy parity on
+    the full table."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        return pa.table(
+            {"k": pa.array([0], pa.int32()),
+             "n": pa.array([x.shape[0]], pa.int64()),
+             "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+             "op": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64()))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(t.column("n")).as_py())
+        s = np.asarray(t.column("s").to_pylist(), np.float64).sum(axis=0)
+        op = np.asarray(t.column("op").to_pylist(), np.float64).sum(axis=0)
+        return pa.table(
+            {"k": pa.array([0], pa.int32()), "n": pa.array([n], pa.int64()),
+             "s": pa.array([s], pa.list_(pa.float64())),
+             "op": pa.array([op], pa.list_(pa.float64()))}
+        )
+
+    st = _collect(
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+        .groupby("k").map_groups(fold, batch_format="pyarrow"))
+    n = st.column("n")[0].as_py()
+    s = np.asarray(st.column("s")[0].as_py(), np.float64)
+    op = np.asarray(st.column("op")[0].as_py(), np.float64)
+    d = s.shape[0]
+    mu = s / n
+    cov = op.reshape(d, d) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, np.argsort(w)[::-1][:q]]  # d x q, descending eigenvalue
+    for j in range(comp.shape[1]):  # deterministic sign
+        if comp[np.argmax(np.abs(comp[:, j])), j] < 0:
+            comp[:, j] = -comp[:, j]
+    ref = ray.put((mu, comp))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        x = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        sc = (x - m) @ c
+        cols = {"vec_id": t.column("vec_id")}
+        for j in range(c.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(sc[:, j], pa.float64())
+        return pa.table(cols)
+
+    return _collect(
+        ds.map_batches(project, batch_format="pyarrow", batch_size=4096)
+    ).sort_by("vec_id")
+
+
+def bpe_train_merges(vocab: list[tuple[str, int]], n_merges: int):
+    """Classic BPE merge learning over a word-frequency vocabulary
+    (Sennrich et al. 2016, public): repeatedly merge the most frequent
+    adjacent symbol pair, ties broken lexicographically so the merge table
+    is deterministic. State is vocabulary-sized by construction — the
+    corpus-sized work (building the word-frequency table) stays
+    distributed in the caller."""
+    words = [(tuple(w) + ("</w>",), c) for w, c in vocab]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        freq = pairs[best]
+        merged = best[0] + best[1]
+        nxt = []
+        for sym, c in words:
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == best[0]
+                        and sym[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt.append((tuple(out), c))
+        words = nxt
+        merges.append((best[0], best[1], freq))
+    return merges
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = 40, top_v: int = 2000):
+    """BPE tokenizer TRAINING — the merge-learning loop itself, completing
+    the tokenizer story next to token_count_bpe / bpe_pair_counts /
+    vocab_build. The word-frequency vocabulary arrives via the combiner
+    pipeline (_vocab_table: corpus-sized work distributed, vocab-sized
+    result), capped at the top-V words by (tf DESC, token ASC); the merge
+    loop then runs driver-side over that bounded vocabulary — the
+    legitimate small-side fold (BPE training state is vocab-sized by
+    construction), not a shortcut. Rows-only (iterative, not
+    SQL-expressible); tests pin the merge table on a hand-computed
+    fixture."""
+    vt = _vocab_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+    toks = vt.column("token").to_pylist()
+    tf = vt.column("tf").to_numpy()
+    order = np.lexsort((np.asarray(toks, dtype=object), -tf))[:top_v]
+    vocab = [(toks[i], int(tf[i])) for i in order]
+    merges = bpe_train_merges(vocab, n_merges)
+    return pa.table(
+        {"rank": pa.array(np.arange(1, len(merges) + 1), pa.int64()),
+         "left": pa.array([m[0] for m in merges], pa.string()),
+         "right": pa.array([m[1] for m in merges], pa.string()),
+         "pair_freq": pa.array([m[2] for m in merges], pa.int64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -4986,7 +5314,11 @@ def build_queries() -> dict[str, Callable]:
         "vocab_build": q_vocab_build,
         "char_entropy": q_char_entropy,
         "containment_pairs": q_containment_pairs,
+        "star_join": q_star_join,
+        "regex_mentions": q_regex_mentions,
         # rows-only (non-SQL-expressible)
+        "pca_project": q_pca_project,
+        "bpe_train": q_bpe_train,
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -6415,5 +6747,55 @@ def build_oracle_sql() -> dict[str, str]:
                            AND x.doc_id < y.doc_id
             WHERE bit_count(xor(x.h, y.h)) <= 3
             ORDER BY a_id, b_id
+        """,
+        # star_join sums revenue in exact int64 micro-units (prices and
+        # discounts carry 2 decimals), mirroring the Ray side's
+        # order-independent integer arithmetic; the division to a double
+        # happens once on the final per-nation sum on BOTH sides.
+        "star_join": f"""
+            WITH nk AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{_STAR_REGION}'
+            ),
+            l AS (
+                SELECT l_orderkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                           AS mrev,
+                       COUNT(*) AS nlines
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT nk.n_name,
+                   (SUM(l.mrev) / 10000.0)::DOUBLE AS revenue,
+                   SUM(l.nlines)::BIGINT AS line_count
+            FROM l
+            JOIN o ON l.l_orderkey = o.o_orderkey
+            JOIN customer ON o.o_custkey = c_custkey
+            JOIN nk ON c_nationkey = nk.n_nationkey
+            GROUP BY nk.n_name
+            ORDER BY n_name
+        """,
+        # DuckDB's regexp_* compiles RE2, same as pyarrow's *_substring_regex
+        # kernels — \b semantics and non-overlapping counting agree exactly.
+        "regex_mentions": """
+            WITH pats(pattern, rex) AS (VALUES
+                ('query_scan', '\\b(query|scan)\\b'),
+                ('ow_words', '\\b[a-z]*ow\\b'),
+                ('fast_slow_phrase', '(fast|slow) (table|scan|merge)')
+            )
+            SELECT lang, p.pattern,
+                   SUM(length(regexp_extract_all(text, p.rex)))::BIGINT
+                       AS n_matches,
+                   (COUNT(*) FILTER (WHERE regexp_matches(text, p.rex)))::BIGINT
+                       AS n_docs
+            FROM documents CROSS JOIN pats p
+            GROUP BY lang, p.pattern
+            ORDER BY lang, pattern
         """,
     }

@@ -351,6 +351,7 @@ def bench_queries(on_query=None, out: dict[str, float] | None = None) -> dict[st
         "value_outliers", "bm25_topk", "hybrid_search", "bigram_logprob",
         "weighted_sample", "quality_percentile", "pmi_pairs",
         "centroid_classify", "knn_classify",
+        "star_join", "regex_mentions", "pca_project", "bpe_train",
     ]
     reg = q.build_queries()
     out = out if out is not None else {}
@@ -561,6 +562,7 @@ HEADROOM_ENTRIES = [
     "corpus_build", "containment_pairs", "bigjoin_priority",
     "heavy_hitters", "tfidf_topk", "semantic_dedup", "importance_sample",
     "bm25_topk", "bigram_logprob",
+    "star_join", "regex_mentions", "pca_project",
 ]
 
 

@@ -160,6 +160,8 @@ SQL_CHECKED = [
     "pii_scrub",
     "credits_charges",
     "train_split",
+    "star_join",
+    "regex_mentions",
 ]
 
 
@@ -181,6 +183,8 @@ ROWS_ONLY = [
     "media_features", "serp_parse",
     "monitor_diff", "monitor_judged", "search_scrape", "ann_ivf",
     "embedding_dedup_lsh",
+    "pca_project",
+    "bpe_train",
 ]
 
 

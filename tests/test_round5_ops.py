@@ -1,0 +1,99 @@
+"""Round-5 operators: star_join / regex_mentions / pca_project / bpe_train.
+
+Correctness vs DuckDB for the two SQL entries lives in
+test_queries_oracle.py (SQL_CHECKED); here we pin the non-SQL semantics:
+the BPE merge table on a hand-computed fixture, PCA numpy parity on the
+full embedding table, and the star join's integer micro-unit arithmetic.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from anycrawl_ray.queries import (  # noqa: E402
+    bpe_train_merges,
+    q_bpe_train,
+    q_pca_project,
+    q_star_join,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+class TestBpeMerges:
+    def test_hand_computed_fixture(self):
+        # vocab: low*3, lower*2, newest*6, widest*3  (classic BPE example)
+        vocab = [("low", 3), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = bpe_train_merges(vocab, 4)
+        # pair counts round 1: ('e','s') = 6+3 = 9 (newest+widest),
+        # ('s','t') = 9, ('t','</w>') = 9, ('w','e') = 6 ... tie on 9 breaks
+        # lexicographically: ('e','s') < ('s','t') < ('t','</w>')
+        assert merges[0] == ("e", "s", 9)
+        # after merging 'es': ('es','t')=9 and ('t','</w>')=9 tie ->
+        # ('es','t') wins lexicographically ('e' < 't')
+        assert merges[1] == ("es", "t", 9)
+        # then ('est','</w>') = 9 is the unique max
+        assert merges[2] == ("est", "</w>", 9)
+        # round 4: in 'n e w est</w>' the pairs ('e','w'), ('n','e') and
+        # ('w','est</w>') all have freq 6 (vs ('l','o')=5, ('o','w')=5);
+        # the tie breaks lexicographically -> ('e','w')
+        assert merges[3] == ("e", "w", 6)
+
+    def test_merge_exhaustion_stops_early(self):
+        merges = bpe_train_merges([("ab", 5)], 10)
+        # 'a b </w>' has 2 pairs -> at most 2 merges possible
+        assert len(merges) == 2
+        assert merges[0] == ("a", "b", 5)
+        assert merges[1] == ("ab", "</w>", 5)
+
+    def test_deterministic_over_corpus(self, ray_session):
+        a = q_bpe_train(SF_DIR)
+        b = q_bpe_train(SF_DIR)
+        assert a.equals(b)
+        assert a.num_rows == 40
+        # every merged symbol's frequency is non-increasing in rank only
+        # within a merge "generation", but pair_freq must stay positive
+        assert min(a.column("pair_freq").to_pylist()) > 0
+
+
+class TestPcaProject:
+    def test_numpy_parity_full_table(self, ray_session):
+        t = q_pca_project(SF_DIR)
+        emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        x = np.asarray(emb.column("embedding").to_pylist(), np.float64)
+        mu = x.mean(axis=0)
+        cov = np.cov(x, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(cov)
+        comp = v[:, np.argsort(w)[::-1][:4]]
+        for j in range(4):
+            if comp[np.argmax(np.abs(comp[:, j])), j] < 0:
+                comp[:, j] = -comp[:, j]
+        ref = (x - mu) @ comp
+        order = np.argsort(emb.column("vec_id").to_numpy())
+        got = np.stack(
+            [t.column(f"pc{j + 1}").to_numpy() for j in range(4)], axis=1)
+        # distributed partial sums reorder float adds; parity is ~1e-12
+        assert np.max(np.abs(got - ref[order])) < 1e-9
+
+    def test_pc1_captures_most_variance(self, ray_session):
+        t = q_pca_project(SF_DIR)
+        variances = [float(np.var(t.column(f"pc{j + 1}").to_numpy()))
+                     for j in range(4)]
+        assert variances == sorted(variances, reverse=True)
+        assert variances[0] > 0
+
+
+class TestStarJoin:
+    def test_micro_unit_arithmetic_is_exact(self, ray_session):
+        """The integer micro-unit sum must make the revenue double identical
+        across runs (partial-sum order varies with scheduling)."""
+        a = q_star_join(SF_DIR)
+        b = q_star_join(SF_DIR)
+        assert a.equals(b)
+        assert a.num_rows == 5  # one row per nation in the region
+        assert all(v > 0 for v in a.column("line_count").to_pylist())
