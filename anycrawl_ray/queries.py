@@ -5225,6 +5225,170 @@ def q_bpe_train(sf_dir: str, n_merges: int = 40, top_v: int = 2000):
     )
 
 
+_SALT_S = 16
+
+
+def q_distinct_users_salted(sf_dir: str):
+    """Skew-correct distributed COUNT(DISTINCT) — distinct users per event
+    type, where event_type is LOW-cardinality (every key is hot: a naive
+    groupby(event_type) ships one giant group per type to one reducer).
+    The fix is SALTING by the hash of the DISTINCT-counted column: the
+    shuffle key is (type, splitmix64(user) % S), so each hot type splits
+    into S balanced partitions and — because a given user always lands in
+    the same salt — per-salt distinct counts ADD EXACTLY. Each batch also
+    pre-dedupes its (type, user) pairs (combiner), so the shuffle carries
+    at most one row per distinct pair per batch. The driver folds
+    |types| x S partial rows."""
+    from .functions.sketch import splitmix64
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"event_type": t.column("event_type"),
+             "user_id": t.column("user_id")}
+        ).group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        salt = splitmix64(g.column("user_id").to_numpy()) % np.uint64(_SALT_S)
+        key = pc.binary_join_element_wise(
+            g.column("event_type"),
+            pa.array(salt.astype(np.uint64).astype("U"), pa.string()), "|")
+        return pa.table(
+            {"key": key, "user_id": g.column("user_id"),
+             "ev_p": pc.cast(g.column("user_id_count"), pa.int64())}
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        key = t.column("key")[0].as_py()
+        users = t.column("user_id").to_numpy()
+        return pa.table(
+            {"event_type": pa.array([key.split("|", 1)[0]], pa.string()),
+             "u_p": pa.array([len(np.unique(users))], pa.int64()),
+             "e_p": pa.array([int(pc.sum(t.column("ev_p")).as_py())],
+                             pa.int64())}
+        )
+
+    partials = _collect(
+        _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+            pre, batch_format="pyarrow"
+        ).groupby("key").map_groups(kernel, batch_format="pyarrow"))
+    users: dict[str, int] = {}
+    events: dict[str, int] = {}
+    for row in partials.to_pylist():
+        users[row["event_type"]] = users.get(row["event_type"], 0) + row["u_p"]
+        events[row["event_type"]] = events.get(row["event_type"], 0) + row["e_p"]
+    types = sorted(users)
+    return pa.table(
+        {"event_type": pa.array(types, pa.string()),
+         "n_users": pa.array([users[t] for t in types], pa.int64()),
+         "n_events": pa.array([events[t] for t in types], pa.int64())}
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_price_correlations(sf_dir: str):
+    """Pearson correlation matrix over lineitem's numeric columns via EXACT
+    integer sufficient statistics: each value has 2 decimals, so x100 casts
+    make every sum / square / cross-product an exact integer; per-block
+    int64 partials (safe: block sums stay < 2^63) fold on the driver in
+    arbitrary-precision Python ints, and the single float formula runs once
+    on exact integers — so the result is bit-identical regardless of block
+    order or cluster size, and the SQL oracle mirrors the same HUGEINT
+    arithmetic. The partial stream is 10 ints per BLOCK (not per row)."""
+    cols = _CORR_COLS
+
+    def stats(t: pa.Table) -> pa.Table:
+        xs = [pc.cast(pc.round(pc.multiply(t.column(c), pa.scalar(100.0))),
+                      pa.int64()).to_numpy() for c in cols]
+        row: dict[str, list] = {"n": [t.num_rows]}
+        for i, x in enumerate(xs):
+            row[f"s{i}"] = [int(x.sum())]
+        for i in range(3):
+            for j in range(i, 3):
+                row[f"p{i}{j}"] = [int((xs[i] * xs[j]).sum())]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    partials = _collect(
+        _read(sf_dir, "lineitem", cols).map_batches(
+            stats, batch_format="pyarrow", batch_size=8192))
+    tot = {name: sum(partials.column(name).to_pylist())
+           for name in partials.column_names}
+    n = tot["n"]
+
+    def corr(i: int, j: int) -> float:
+        num = n * tot[f"p{min(i, j)}{max(i, j)}"] - tot[f"s{i}"] * tot[f"s{j}"]
+        di = n * tot[f"p{i}{i}"] - tot[f"s{i}"] ** 2
+        dj = n * tot[f"p{j}{j}"] - tot[f"s{j}"] ** 2
+        return float(_round6_half_away(
+            float(num) / np.sqrt(float(di) * float(dj))))
+
+    names = [c.removeprefix("l_") for c in cols]
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    return pa.table(
+        {"col_a": pa.array([names[i] for i, _ in pairs], pa.string()),
+         "col_b": pa.array([names[j] for _, j in pairs], pa.string()),
+         "corr": pa.array([corr(i, j) for i, j in pairs], pa.float64())}
+    )
+
+
+_DD_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def q_dd_quantiles(sf_dir: str):
+    """Approximate per-group quantiles via DDSketch (Masson et al., VLDB
+    2019, public) — the mergeable-sketch path next to the exact
+    histogram-refinement q_global_quantiles: positive values land in
+    log-gamma buckets, per-batch bincounts pre-reduce inside map_batches,
+    and ONE groupby sums (group, bucket) counts — shuffle cost is
+    O(non-empty buckets) per group per block (< 2800 buckets at alpha=0.01
+    across 12 decades), independent of row count. The driver reads the
+    tiny merged bucket table and emits nearest-rank quantile estimates
+    with guaranteed relative error <= alpha. Rows-only (the bucket edges
+    are float-log computed, too boundary-brittle for a bit-exact SQL
+    mirror); tests gate the error bound against exact quantiles."""
+    from .functions.sketch import (
+        DD_ALPHA, dd_bucket_indices, dd_quantiles_from_buckets)
+
+    def pre(t: pa.Table) -> pa.Table:
+        vals = t.column("value").to_numpy()
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        idx = dd_bucket_indices(vals)
+        g = pa.table(
+            {"event_type": pa.array(types, pa.string()),
+             "bucket": pa.array(idx, pa.int64())}
+        ).group_by(["event_type", "bucket"]).aggregate([("bucket", "count")])
+        key = pc.binary_join_element_wise(
+            g.column("event_type"),
+            pc.cast(g.column("bucket"), pa.string()), "|")
+        return pa.table(
+            {"key": key,
+             "cnt_p": pc.cast(g.column("bucket_count"), pa.int64())}
+        )
+
+    agg = _collect(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            pre, batch_format="pyarrow"
+        ).groupby("key").aggregate(Sum("cnt_p", alias_name="cnt")))
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for row in agg.to_pylist():
+        et, b = row["key"].rsplit("|", 1)
+        by_type.setdefault(et, []).append((int(b), row["cnt"]))
+    types, qs_out, est = [], [], []
+    for et in sorted(by_type):
+        idx = np.array([b for b, _ in by_type[et]], np.int64)
+        cnt = np.array([c for _, c in by_type[et]], np.int64)
+        vals = dd_quantiles_from_buckets(idx, cnt, _DD_QS, DD_ALPHA)
+        for q, v in zip(_DD_QS, vals):
+            types.append(et)
+            qs_out.append(q)
+            est.append(float(v))
+    return pa.table(
+        {"event_type": pa.array(types, pa.string()),
+         "q": pa.array(qs_out, pa.float64()),
+         "estimate": pa.array(est, pa.float64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5316,9 +5480,12 @@ def build_queries() -> dict[str, Callable]:
         "containment_pairs": q_containment_pairs,
         "star_join": q_star_join,
         "regex_mentions": q_regex_mentions,
+        "distinct_users_salted": q_distinct_users_salted,
+        "price_correlations": q_price_correlations,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
+        "dd_quantiles": q_dd_quantiles,
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,
@@ -6797,5 +6964,46 @@ def build_oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN pats p
             GROUP BY lang, p.pattern
             ORDER BY lang, pattern
+        """,
+        "distinct_users_salted": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # mirrors the Ray side's EXACT integer sufficient statistics: x100
+        # casts make sums/squares/cross-products exact HUGEINTs; the single
+        # float division + ROUND(...,6) runs once on both sides.
+        "price_correlations": """
+            WITH s AS (
+                SELECT CAST(ROUND(l_quantity * 100) AS HUGEINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y,
+                       CAST(ROUND(l_discount * 100) AS HUGEINT) AS z
+                FROM lineitem
+            ),
+            m AS (
+                SELECT COUNT(*)::HUGEINT AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(z*z) AS szz,
+                       SUM(x*y) AS sxy, SUM(x*z) AS sxz, SUM(y*z) AS syz
+                FROM s
+            )
+            SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+                   ROUND((n*sxy - sx*sy)::DOUBLE
+                         / sqrt((n*sxx - sx*sx)::DOUBLE
+                                * (n*syy - sy*sy)::DOUBLE), 6) AS corr
+            FROM m
+            UNION ALL
+            SELECT 'quantity', 'discount',
+                   ROUND((n*sxz - sx*sz)::DOUBLE
+                         / sqrt((n*sxx - sx*sx)::DOUBLE
+                                * (n*szz - sz*sz)::DOUBLE), 6)
+            FROM m
+            UNION ALL
+            SELECT 'extendedprice', 'discount',
+                   ROUND((n*syz - sy*sz)::DOUBLE
+                         / sqrt((n*syy - sy*sy)::DOUBLE
+                                * (n*szz - sz*sz)::DOUBLE), 6)
+            FROM m
         """,
     }

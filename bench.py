@@ -352,6 +352,7 @@ def bench_queries(on_query=None, out: dict[str, float] | None = None) -> dict[st
         "weighted_sample", "quality_percentile", "pmi_pairs",
         "centroid_classify", "knn_classify",
         "star_join", "regex_mentions", "pca_project", "bpe_train",
+        "distinct_users_salted", "price_correlations", "dd_quantiles",
     ]
     reg = q.build_queries()
     out = out if out is not None else {}
@@ -563,6 +564,7 @@ HEADROOM_ENTRIES = [
     "heavy_hitters", "tfidf_topk", "semantic_dedup", "importance_sample",
     "bm25_topk", "bigram_logprob",
     "star_join", "regex_mentions", "pca_project",
+    "distinct_users_salted", "price_correlations", "dd_quantiles",
 ]
 
 

@@ -162,6 +162,8 @@ SQL_CHECKED = [
     "train_split",
     "star_join",
     "regex_mentions",
+    "distinct_users_salted",
+    "price_correlations",
 ]
 
 
@@ -185,6 +187,7 @@ ROWS_ONLY = [
     "embedding_dedup_lsh",
     "pca_project",
     "bpe_train",
+    "dd_quantiles",
 ]
 
 

@@ -97,3 +97,58 @@ class TestStarJoin:
         assert a.equals(b)
         assert a.num_rows == 5  # one row per nation in the region
         assert all(v > 0 for v in a.column("line_count").to_pylist())
+
+
+class TestDDSketch:
+    def test_error_bound_synthetic(self):
+        """DDSketch quantiles are within relative error alpha of the exact
+        nearest-rank quantiles on a heavy-tailed lognormal stream, merged
+        from many independent partial bincounts (the map_batches shape)."""
+        from anycrawl_ray.functions.sketch import (
+            DD_ALPHA, dd_bucket_indices, dd_quantiles_from_buckets)
+
+        rng = np.random.default_rng(42)
+        vals = np.exp(rng.normal(1.0, 2.0, 200_000))
+        # simulate 37 blocks merged by summed bincounts
+        merged: dict[int, int] = {}
+        for chunk in np.array_split(vals, 37):
+            u, c = np.unique(dd_bucket_indices(chunk), return_counts=True)
+            for b, n in zip(u, c):
+                merged[int(b)] = merged.get(int(b), 0) + int(n)
+        idx = np.array(sorted(merged), np.int64)
+        cnt = np.array([merged[b] for b in sorted(merged)], np.int64)
+        qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+        est = dd_quantiles_from_buckets(idx, cnt, qs)
+        true = np.quantile(vals, qs, method="inverted_cdf")
+        assert np.all(np.abs(est - true) / true <= DD_ALPHA)
+
+    def test_query_error_gate(self, ray_session):
+        import duckdb
+
+        from anycrawl_ray.queries import _DD_QS, q_dd_quantiles
+
+        t = q_dd_quantiles(SF_DIR).to_pandas()
+        ev = duckdb.connect().execute(
+            f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'").df()
+        for et, grp in ev.groupby("event_type"):
+            v = np.sort(grp["value"].to_numpy())
+            for q in _DD_QS:
+                true = v[max(1, int(np.ceil(q * len(v)))) - 1]
+                est = t[(t.event_type == et) & (t.q == q)]["estimate"].iloc[0]
+                assert abs(est - true) / true <= 0.0101, (et, q, est, true)
+
+
+class TestSaltedDistinct:
+    def test_salting_partitions_users_disjointly(self, ray_session):
+        """Per-salt distinct counts must add exactly — a user never lands
+        in two salts, so the salted sum equals the unsalted distinct."""
+        import duckdb
+
+        from anycrawl_ray.queries import q_distinct_users_salted
+
+        t = q_distinct_users_salted(SF_DIR).to_pandas()
+        exact = duckdb.connect().execute(
+            f"SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            f"FROM '{SF_DIR}/events.parquet' GROUP BY event_type").df()
+        m = t.merge(exact, on="event_type", suffixes=("", "_exact"))
+        assert (m["n_users"] == m["n_users_exact"]).all()
