@@ -5389,6 +5389,59 @@ def q_dd_quantiles(sf_dir: str):
     )
 
 
+def q_events_rollup(sf_dir: str):
+    """Multi-level rollup (event_type x day -> month -> grand total) that
+    SCANS THE RAW DATA ONCE: per-batch combiners pre-reduce to (type, day)
+    partials with exact x100 integer value sums, one groupby merges them,
+    and the coarser month / total levels re-aggregate the merged DAY table
+    (tiny: |types| x |days| rows) — never a second pass over the event
+    stream. The SQL oracle is the UNION ALL of the three GROUP BYs; integer
+    micro-units make the value sums order-independent on both sides."""
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        key = pc.binary_join_element_wise(t.column("event_type"), day, "|")
+        val = pc.cast(pc.round(pc.multiply(
+            t.column("value"), pa.scalar(100.0))), pa.int64())
+        g = pa.table({"key": key, "v_p": val}).group_by("key").aggregate(
+            [("v_p", "sum"), ("v_p", "count")])
+        return pa.table(
+            {"key": g.column("key"),
+             "v_p": pc.cast(g.column("v_p_sum"), pa.int64()),
+             "n_p": pc.cast(g.column("v_p_count"), pa.int64())}
+        )
+
+    day_t = _collect(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            pre, batch_format="pyarrow"
+        ).groupby("key").aggregate(
+            Sum("v_p", alias_name="v"), Sum("n_p", alias_name="n")))
+
+    # coarser levels fold the merged day table (driver-side, rollup-sized)
+    rows: list[tuple[str, str, int, int]] = []
+    month_acc: dict[tuple[str, str], list[int]] = {}
+    total_acc: dict[str, list[int]] = {}
+    for r in day_t.to_pylist():
+        et, day = r["key"].split("|", 1)
+        rows.append((et, day, r["n"], r["v"]))
+        m = month_acc.setdefault((et, day[:7]), [0, 0])
+        m[0] += r["n"]
+        m[1] += r["v"]
+        t = total_acc.setdefault(et, [0, 0])
+        t[0] += r["n"]
+        t[1] += r["v"]
+    for (et, mo), (n, v) in month_acc.items():
+        rows.append((et, mo, n, v))
+    for et, (n, v) in total_acc.items():
+        rows.append((et, "ALL", n, v))
+    rows.sort()
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "bucket": pa.array([r[1] for r in rows], pa.string()),
+         "n_events": pa.array([r[2] for r in rows], pa.int64()),
+         "total_value": pa.array([r[3] / 100.0 for r in rows], pa.float64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5482,6 +5535,7 @@ def build_queries() -> dict[str, Callable]:
         "regex_mentions": q_regex_mentions,
         "distinct_users_salted": q_distinct_users_salted,
         "price_correlations": q_price_correlations,
+        "events_rollup": q_events_rollup,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7005,5 +7059,27 @@ def build_oracle_sql() -> dict[str, str]:
                          / sqrt((n*syy - sy*sy)::DOUBLE
                                 * (n*szz - sz*sz)::DOUBLE), 6)
             FROM m
+        """,
+        # three explicit GROUP BY levels (day / month / grand total per
+        # type); integer micro-unit sums keep the double exact on both sides
+        "events_rollup": """
+            WITH s AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_type, day AS bucket,
+                   COUNT(*)::BIGINT AS n_events,
+                   (SUM(v) / 100.0)::DOUBLE AS total_value
+            FROM s GROUP BY event_type, day
+            UNION ALL
+            SELECT event_type, substr(day, 1, 7),
+                   COUNT(*)::BIGINT, (SUM(v) / 100.0)::DOUBLE
+            FROM s GROUP BY event_type, substr(day, 1, 7)
+            UNION ALL
+            SELECT event_type, 'ALL',
+                   COUNT(*)::BIGINT, (SUM(v) / 100.0)::DOUBLE
+            FROM s GROUP BY event_type
+            ORDER BY event_type, bucket
         """,
     }

@@ -164,6 +164,7 @@ SQL_CHECKED = [
     "regex_mentions",
     "distinct_users_salted",
     "price_correlations",
+    "events_rollup",
 ]
 
 
