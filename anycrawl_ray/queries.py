@@ -5442,6 +5442,65 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding table — the standard 4x
+    compression step before shipping vectors to an ANN index at corpus
+    scale (alongside the existing PQ path, which is lossier/smaller).
+    Pass 1 computes per-dimension min/max as one d-sized partial per BLOCK
+    folded through a single-key groupby (same sufficient-stats shape as
+    pca_project — never a driver fold of per-batch partials); the (lo,
+    scale) vectors broadcast once via ray.put; pass 2 encodes each vector
+    to d bytes (vs 4d float32) and reports its max reconstruction error.
+    Rows-only entry (byte codes aren't SQL-comparable); tests pin the
+    error bound (<= half a quantization step per dimension) and exact
+    roundtrip of the lo/scale vectors."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        return pa.table(
+            {"k": pa.array([0], pa.int32()),
+             "lo": pa.array([x.min(axis=0)], pa.list_(pa.float64())),
+             "hi": pa.array([x.max(axis=0)], pa.list_(pa.float64()))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t.column("lo").to_pylist(), np.float64).min(axis=0)
+        hi = np.asarray(t.column("hi").to_pylist(), np.float64).max(axis=0)
+        return pa.table(
+            {"k": pa.array([0], pa.int32()),
+             "lo": pa.array([lo], pa.list_(pa.float64())),
+             "hi": pa.array([hi], pa.list_(pa.float64()))}
+        )
+
+    st = _collect(
+        ds.map_batches(minmax, batch_format="pyarrow", batch_size=4096)
+        .groupby("k").map_groups(fold, batch_format="pyarrow"))
+    lo = np.asarray(st.column("lo")[0].as_py(), np.float64)
+    hi = np.asarray(st.column("hi")[0].as_py(), np.float64)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    ref = ray.put((lo, scale))
+
+    def encode(t: pa.Table) -> pa.Table:
+        lo_, sc_ = ray.get(ref)
+        x = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        codes = np.clip(np.round((x - lo_) / sc_), 0, 255).astype(np.uint8)
+        recon = codes.astype(np.float64) * sc_ + lo_
+        err = np.abs(recon - x).max(axis=1)
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "code": pa.array(list(codes.tobytes()[i * codes.shape[1]:
+                                                   (i + 1) * codes.shape[1]]
+                                   for i in range(codes.shape[0])),
+                              pa.binary()),
+             "max_err": pa.array(err, pa.float64())}
+        )
+
+    return _collect(
+        ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+    ).sort_by("vec_id")
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5540,6 +5599,7 @@ def build_queries() -> dict[str, Callable]:
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
         "dd_quantiles": q_dd_quantiles,
+        "embedding_quantize": q_embedding_quantize,
         "approx_distinct": q_approx_distinct,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_clusters": q_doc_clusters,

@@ -189,6 +189,7 @@ ROWS_ONLY = [
     "pca_project",
     "bpe_train",
     "dd_quantiles",
+    "embedding_quantize",
 ]
 
 

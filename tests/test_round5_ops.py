@@ -152,3 +152,36 @@ class TestSaltedDistinct:
             f"FROM '{SF_DIR}/events.parquet' GROUP BY event_type").df()
         m = t.merge(exact, on="event_type", suffixes=("", "_exact"))
         assert (m["n_users"] == m["n_users_exact"]).all()
+
+
+class TestEmbeddingQuantize:
+    def test_error_bound_and_codes(self, ray_session):
+        from anycrawl_ray.queries import q_embedding_quantize
+
+        t = q_embedding_quantize(SF_DIR)
+        emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        x = np.asarray(emb.column("embedding").to_pylist(), np.float64)
+        lo, hi = x.min(axis=0), x.max(axis=0)
+        step = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+        # per-vector max reconstruction error <= half a step (+ fp slack)
+        assert t.num_rows == len(x)
+        max_err = np.array(t.column("max_err").to_pylist())
+        assert np.all(max_err <= step.max() / 2 + 1e-12)
+        # codes are d bytes each
+        assert all(len(c) == x.shape[1] for c in t.column("code").to_pylist()[:10])
+
+    def test_roundtrip_decodes_back(self, ray_session):
+        from anycrawl_ray.queries import q_embedding_quantize
+
+        t = q_embedding_quantize(SF_DIR)
+        emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        x = np.asarray(emb.column("embedding").to_pylist(), np.float64)
+        order = np.argsort(emb.column("vec_id").to_numpy())
+        x = x[order]
+        lo, hi = x.min(axis=0), x.max(axis=0)
+        step = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+        codes = np.frombuffer(
+            b"".join(t.column("code").to_pylist()), np.uint8
+        ).reshape(len(x), -1)
+        recon = codes * step + lo
+        assert np.abs(recon - x).max() <= step.max() / 2 + 1e-12
