@@ -121,8 +121,12 @@ def exact_recount(docs: rd.Dataset, candidates: list[str], *,
         .groupby("token")
         .sum("n")
     )
-    t = out.to_arrow_refs()
-    parts = [p for p in ray.get(t) if p.num_rows]
+    from ..blocks import collect_tables
+
+    # aggregate outputs include empty zero-schema blocks — collect block
+    # refs directly (to_arrow_refs' schema probe would re-execute the plan
+    # under a limit and can abort the driver; see blocks.py)
+    parts = collect_tables(out)
     if not parts:
         return pa.table({"token": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})

@@ -58,8 +58,26 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 def _collect(ds: rd.Dataset) -> pa.Table:
     """Materialize a small result Dataset to one Arrow table, dropping the
-    empty zero-schema blocks Ray's aggregate can emit."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    empty zero-schema blocks Ray's aggregate can emit.
+
+    Deliberately does NOT use ``to_arrow_refs()``: that API follows its
+    full execution with ``schema(fetch_if_missing=True)``, and when the
+    executed stream contained empty zero-schema blocks (routine for our
+    groupby/map_groups pipelines) the unified schema is still unknown — so
+    the probe RE-EXECUTES the entire upstream plan under a
+    ``LimitOperator[limit=1]``. That is both wasteful (the whole pipeline
+    runs twice) and, on Ray 2.49, fatal in a measurable fraction of runs:
+    the limit's task cancellations race late task completions in the core
+    TaskManager (``task_manager.cc Check failed: it !=
+    submissible_tasks_.end()``), aborting the whole driver process
+    (observed twice in full bench runs). Pulling the executed block refs
+    straight from ``iter_internal_ref_bundles()`` triggers exactly one
+    execution and no schema probe; blocks are already Arrow on every
+    pipeline that reaches here (batch_format="pyarrow" throughout). Full
+    rationale in anycrawl_ray/blocks.py."""
+    from .blocks import collect_tables
+
+    tables = collect_tables(ds)
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)

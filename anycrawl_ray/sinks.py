@@ -120,7 +120,12 @@ def resumable_partitioned_write(
     acks = pruned.groupby("part").map_groups(write_part, batch_format="pyarrow")
     import ray
 
-    new = [t for t in ray.get(acks.to_arrow_refs()) if t.num_rows > 0]
+    from .blocks import collect_tables
+
+    # map_groups acks include empty zero-schema blocks — collect block refs
+    # directly (to_arrow_refs' schema probe would re-execute the write plan
+    # under a limit: double-writes AND a driver-abort race; see blocks.py)
+    new = collect_tables(acks)
     rows: dict[int, int] = {}
     if new:
         acks_t = pa.concat_tables(new)
