@@ -566,6 +566,7 @@ HEADROOM_ENTRIES = [
     "bm25_topk", "bigram_logprob",
     "star_join", "regex_mentions", "pca_project",
     "distinct_users_salted", "price_correlations", "dd_quantiles",
+    "events_rollup", "embedding_quantize",
 ]
 
 
