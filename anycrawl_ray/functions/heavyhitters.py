@@ -169,3 +169,117 @@ def top_k_exact(docs: rd.Dataset, *, k: int = 100, m: int = 4096,
     return top.to_arrow().cast(
         pa.schema([("token", pa.string()), ("n", pa.int64())])
     )
+
+
+def mg_aggregate_grouped(on: str = "text", m: int = 2048,
+                         name: str = "mg_json"):
+    """Grouped variant of :func:`mg_aggregate` for
+    ``groupby(key).aggregate(...)``: same Misra-Gries math, but the
+    accumulator is a JSON STRING at every protocol boundary. Grouped
+    accumulators are stored in blocks between the map and reduce stages,
+    and a Python dict stored in an Arrow block becomes a STRUCT whose
+    fields are the UNION of every row's keys — other groups' tokens come
+    back as None-valued entries, corrupting the counter map (observed as
+    ``int(None)`` in merge). A string column round-trips exactly."""
+    import json
+
+    from ray.data.aggregate import AggregateFn
+
+    def init(_key) -> str:
+        return json.dumps({"c": {}, "err": 0, "n": 0})
+
+    def accumulate_block(acc: str, block) -> str:
+        a = json.loads(acc)
+        if isinstance(block, pa.Table):
+            texts = block.column(on).to_pylist()
+        else:
+            texts = block[on].tolist()
+        vc = _block_token_counts(texts)
+        a["n"] += int(vc["n"].sum() or 0)
+        a = mg_merge_counts(a, vc["token"].to_list(), vc["n"].to_list(), m)
+        return json.dumps(a)
+
+    def merge(x: str, y: str) -> str:
+        a, b = json.loads(x), json.loads(y)
+        a["err"] += b["err"]
+        a["n"] += b["n"]
+        a = mg_merge_counts(a, list(b["c"].keys()), list(b["c"].values()), m)
+        return json.dumps(a)
+
+    def finalize(acc: str) -> str:
+        a = json.loads(acc)
+        return json.dumps({"tokens": sorted(a["c"].keys()),
+                           "err": a["err"], "n": a["n"]})
+
+    return AggregateFn(init=init, merge=merge, name=name,
+                       accumulate_block=accumulate_block, finalize=finalize)
+
+
+_KEY_SEP = "\x1f"  # tokens are whitespace-split, so never contain 0x1f
+
+
+def top_k_exact_by_group(docs: rd.Dataset, *, group: str, k: int = 20,
+                         m: int = 2048, on: str = "text") -> pa.Table:
+    """Exact top-k tokens PER GROUP, ties by token ascending — the grouped
+    composition of the Misra-Gries machinery: one
+    ``groupby(group).aggregate(mg)`` pass ships O(m) summaries per group
+    through the aggregate tree (never a vocabulary shuffle), the per-group
+    candidate sets broadcast once, and a second streaming pass exact-counts
+    candidates only into a candidate-sized groupby. The per-group MG
+    coverage guarantee is checked, not assumed (same contract as
+    :func:`top_k_exact`)."""
+    import json
+
+    from ..blocks import collect_tables
+
+    summaries: dict[str, dict] = {}
+    for t in collect_tables(docs.groupby(group).aggregate(
+            mg_aggregate_grouped(on=on, m=m))):
+        for g, s in zip(t.column(group).to_pylist(),
+                        t.column("mg_json").to_pylist()):
+            summaries[g] = json.loads(s)
+    cand_ref = ray.put({g: pl.Series("token", s["tokens"])
+                        for g, s in summaries.items()})
+
+    def f(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cand_ref)
+        groups = t.column(group).to_pylist()
+        texts = t.column(on).to_pylist()
+        per: dict[str, list[str]] = {}
+        for g, tx in zip(groups, texts):
+            per.setdefault(g, []).append(tx)
+        keys: list[str] = []
+        ns: list[int] = []
+        for g, txs in per.items():
+            vc = _block_token_counts(txs)
+            vc = vc.filter(pl.col("token").is_in(cmap[g]))
+            keys.extend(g + _KEY_SEP + tok for tok in vc["token"].to_list())
+            ns.extend(vc["n"].to_list())
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    counts = collect_tables(
+        docs.map_batches(f, batch_format="pyarrow", batch_size=2048)
+        .groupby("key").sum("n"))
+    by_group: dict[str, list[tuple[str, int]]] = {}
+    for t in counts:
+        for key, n in zip(t.column("key").to_pylist(),
+                          t.column("sum(n)").to_pylist()):
+            g, tok = key.split(_KEY_SEP, 1)
+            by_group.setdefault(g, []).append((tok, int(n)))
+    out_g, out_tok, out_n = [], [], []
+    for g in sorted(by_group):
+        rows = sorted(by_group[g], key=lambda r: (-r[1], r[0]))[:k]
+        err = summaries[g]["err"]
+        if err > 0:
+            kth = rows[-1][1] if len(by_group[g]) >= k else 0
+            if kth <= err:
+                raise RuntimeError(
+                    f"MG guarantee not met for group {g!r}: k-th count "
+                    f"{kth} <= trim error {err}; increase m (={m})")
+        out_g.extend(g for _ in rows)
+        out_tok.extend(r[0] for r in rows)
+        out_n.extend(r[1] for r in rows)
+    return pa.table({group: pa.array(out_g, pa.string()),
+                     "token": pa.array(out_tok, pa.string()),
+                     "n": pa.array(out_n, pa.int64())})

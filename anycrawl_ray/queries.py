@@ -5519,6 +5519,21 @@ def q_embedding_quantize(sf_dir: str):
     ).sort_by("vec_id")
 
 
+def q_heavy_hitters_by_lang(sf_dir: str):
+    """Per-GROUP exact top-k tokens (stopword mining per language) — the
+    grouped composition of the Misra-Gries machinery: one
+    groupby(lang).aggregate(MG) pass ships O(m) candidate summaries per
+    group through the aggregate tree (never a vocabulary shuffle),
+    per-group candidate sets broadcast once, then a candidate-sized exact
+    recount. The per-group coverage guarantee is runtime-checked
+    (functions/heavyhitters.py:top_k_exact_by_group). Exact +
+    deterministic ties => oracle-checked."""
+    from .functions.heavyhitters import top_k_exact_by_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return top_k_exact_by_group(ds, group="lang", k=20, m=2048)
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5613,6 +5628,7 @@ def build_queries() -> dict[str, Callable]:
         "distinct_users_salted": q_distinct_users_salted,
         "price_correlations": q_price_correlations,
         "events_rollup": q_events_rollup,
+        "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7159,5 +7175,24 @@ def build_oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT, (SUM(v) / 100.0)::DOUBLE
             FROM s GROUP BY event_type
             ORDER BY event_type, bucket
+        """,
+        # exact per-group top-k with deterministic (n DESC, token ASC) ties;
+        # tokenization = whitespace split, same as the _TOKENS convention
+        "heavy_hitters_by_lang": f"""
+            WITH tok AS (
+                SELECT lang, unnest({_TOKENS}) AS token FROM documents
+            ),
+            c AS (
+                SELECT lang, token, COUNT(*)::BIGINT AS n
+                FROM tok GROUP BY lang, token
+            ),
+            r AS (
+                SELECT lang, token, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY n DESC, token) AS rk
+                FROM c
+            )
+            SELECT lang, token, n FROM r WHERE rk <= 20
+            ORDER BY lang, n DESC, token
         """,
     }

@@ -165,6 +165,7 @@ SQL_CHECKED = [
     "distinct_users_salted",
     "price_correlations",
     "events_rollup",
+    "heavy_hitters_by_lang",
 ]
 
 
