@@ -5534,6 +5534,46 @@ def q_heavy_hitters_by_lang(sf_dir: str):
     return top_k_exact_by_group(ds, group="lang", k=20, m=2048)
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier-eval confusion matrix: the language-ID heuristic's
+    prediction vs the corpus's ground-truth lang label, with per-cell
+    counts and per-label recall — the model-eval aggregation every
+    filtering-model deployment needs at corpus scale. One streaming pass
+    predicts per batch (vectorized n-gram heuristic, functions/text.py)
+    and pre-reduces to (label, pred) partial counts, so the groupby
+    shuffle carries |labels|² × n_blocks rows. Recall divides two exact
+    integers once per row — deterministic, fully SQL-mirrored."""
+    def pre(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        pred = pa.array(tx.language_id(texts), pa.string())
+        key = pc.binary_join_element_wise(t.column("lang"), pred, "|")
+        g = pa.table({"key": key}).group_by("key").aggregate(
+            [("key", "count")])
+        return pa.table({"key": g.column("key"),
+                         "n_p": pc.cast(g.column("key_count"), pa.int64())})
+
+    agg = _collect(
+        _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+            pre, batch_format="pyarrow"
+        ).groupby("key").aggregate(Sum("n_p", alias_name="n")))
+    cells = {}
+    totals: dict[str, int] = {}
+    for row in agg.to_pylist():
+        label, pred = row["key"].split("|", 1)
+        cells[(label, pred)] = cells.get((label, pred), 0) + row["n"]
+        totals[label] = totals.get(label, 0) + row["n"]
+    keys = sorted(cells)
+    return pa.table(
+        {"lang": pa.array([k[0] for k in keys], pa.string()),
+         "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+         "n": pa.array([cells[k] for k in keys], pa.int64()),
+         "recall": pa.array(
+             [float(_round6_half_away(cells[k] / totals[k[0]]))
+              for k in keys],
+             pa.float64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5629,6 +5669,7 @@ def build_queries() -> dict[str, Callable]:
         "price_correlations": q_price_correlations,
         "events_rollup": q_events_rollup,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
+        "lang_confusion": q_lang_confusion,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7194,5 +7235,21 @@ def build_oracle_sql() -> dict[str, str]:
             )
             SELECT lang, token, n FROM r WHERE rk <= 20
             ORDER BY lang, n DESC, token
+        """,
+        # reuses the shared lang_case prediction mirror; recall = one
+        # exact-integer division + ROUND(...,6) per cell on both sides
+        "lang_confusion": f"""
+            WITH p AS (
+                SELECT lang, {lang_case} AS lang_pred FROM documents
+            ),
+            c AS (
+                SELECT lang, lang_pred, COUNT(*)::BIGINT AS n
+                FROM p GROUP BY lang, lang_pred
+            ),
+            t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang)
+            SELECT c.lang, c.lang_pred, c.n,
+                   ROUND(c.n / t.tot, 6) AS recall
+            FROM c JOIN t USING (lang)
+            ORDER BY lang, lang_pred
         """,
     }

@@ -166,6 +166,7 @@ SQL_CHECKED = [
     "price_correlations",
     "events_rollup",
     "heavy_hitters_by_lang",
+    "lang_confusion",
 ]
 
 
