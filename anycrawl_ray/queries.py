@@ -5574,6 +5574,48 @@ def q_lang_confusion(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type TRANSITION MATRIX (Markov counts +
+    row-normalized probabilities) — the behavioral-model aggregation for
+    session analytics and recrawl policy tuning. One co-partitioned
+    shuffle on user_id gives each partition complete user histories; the
+    kernel shift-compares consecutive events (vectorized lag over user)
+    and pre-reduces to |types|² transition partials, so the driver folds
+    <= |types|² x n_parts rows. Probabilities divide two exact integers
+    once per cell — deterministic, fully SQL-mirrored (window LAG)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(df: "pl.DataFrame") -> "pl.DataFrame":
+        df = df.sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            pl.col("event_type").shift(1).over("user_id").alias("prev_type"))
+        return (
+            df.filter(pl.col("prev_type").is_not_null())
+            .group_by(["prev_type", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n_p"))
+        )
+
+    partials = _collect(_co_partitioned(ds, "user_id", kernel))
+    cells: dict[tuple[str, str], int] = {}
+    totals: dict[str, int] = {}
+    for row in partials.to_pylist():
+        k = (row["prev_type"], row["event_type"])
+        cells[k] = cells.get(k, 0) + row["n_p"]
+        totals[k[0]] = totals.get(k[0], 0) + row["n_p"]
+    keys = sorted(cells)
+    return pa.table(
+        {"prev_type": pa.array([k[0] for k in keys], pa.string()),
+         "event_type": pa.array([k[1] for k in keys], pa.string()),
+         "n": pa.array([cells[k] for k in keys], pa.int64()),
+         "prob": pa.array(
+             [float(_round6_half_away(cells[k] / totals[k[0]]))
+              for k in keys],
+             pa.float64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5670,6 +5712,7 @@ def build_queries() -> dict[str, Callable]:
         "events_rollup": q_events_rollup,
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "lang_confusion": q_lang_confusion,
+        "event_transitions": q_event_transitions,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7251,5 +7294,26 @@ def build_oracle_sql() -> dict[str, str]:
                    ROUND(c.n / t.tot, 6) AS recall
             FROM c JOIN t USING (lang)
             ORDER BY lang, lang_pred
+        """,
+        # transitions via window LAG; (ts, event_id) ordering is unique so
+        # both sides see the same consecutive pairs
+        "event_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            ),
+            c AS (
+                SELECT prev_type, event_type, COUNT(*)::BIGINT AS n
+                FROM s WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            ),
+            t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type)
+            SELECT c.prev_type, c.event_type, c.n,
+                   ROUND(c.n / t.tot, 6) AS prob
+            FROM c JOIN t USING (prev_type)
+            ORDER BY prev_type, event_type
         """,
     }

@@ -167,6 +167,7 @@ SQL_CHECKED = [
     "events_rollup",
     "heavy_hitters_by_lang",
     "lang_confusion",
+    "event_transitions",
 ]
 
 
