@@ -185,3 +185,71 @@ class TestEmbeddingQuantize:
         ).reshape(len(x), -1)
         recon = codes * step + lo
         assert np.abs(recon - x).max() <= step.max() / 2 + 1e-12
+
+
+class TestBpeProperties:
+    def test_parity_vs_naive_counter_reference(self):
+        """Independent reimplementation with collections.Counter (different
+        code path: re-tokenizes from the raw words each round) must produce
+        the identical merge table on randomized vocabularies."""
+        from collections import Counter
+        import random
+
+        def naive(vocab, n_merges):
+            merges = []
+            applied = []
+
+            def segment(word):
+                sym = list(word) + ["</w>"]
+                for a, b in applied:
+                    out, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(sym[i])
+                            i += 1
+                    sym = out
+                return sym
+
+            for _ in range(n_merges):
+                pairs = Counter()
+                for w, c in vocab:
+                    sym = segment(w)
+                    for i in range(len(sym) - 1):
+                        pairs[(sym[i], sym[i + 1])] += c
+                if not pairs:
+                    break
+                best = min(pairs, key=lambda p: (-pairs[p], p))
+                merges.append((best[0], best[1], pairs[best]))
+                applied.append(best)
+            return merges
+
+        rng = random.Random(1234)
+        for trial in range(25):
+            n_words = rng.randint(1, 12)
+            vocab = []
+            seen = set()
+            for _ in range(n_words):
+                w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 6)))
+                if w in seen:
+                    continue
+                seen.add(w)
+                vocab.append((w, rng.randint(1, 9)))
+            k = rng.randint(1, 8)
+            assert bpe_train_merges(vocab, k) == naive(vocab, k), (trial, vocab, k)
+
+    def test_max_pair_freq_non_increasing(self):
+        """A merge's pair frequency can never exceed the previous merge's:
+        every pair created by a merge occurs at most as often as the pair
+        that was merged."""
+        import random
+
+        rng = random.Random(99)
+        for _ in range(10):
+            vocab = [("".join(rng.choice("abc") for _ in range(rng.randint(2, 8))),
+                      rng.randint(1, 5)) for _ in range(8)]
+            merges = bpe_train_merges(list(dict(vocab).items()), 12)
+            freqs = [m[2] for m in merges]
+            assert freqs == sorted(freqs, reverse=True), freqs
