@@ -5616,6 +5616,105 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_curriculum_rank(sf_dir: str):
+    """Global TOTAL-ORDER ranking of the corpus (curriculum ordering: rank
+    docs by a difficulty proxy, n_chars DESC with doc_id ties) WITHOUT a
+    single-node sort — the TeraSort pattern expressed in Ray Data:
+
+      1. one combiner pass builds a merged n_chars histogram (value-bucket
+         counts, corpus-size independent),
+      2. the driver derives range-partition boundaries from the histogram
+         (ties of equal key always land in ONE partition, so ranges never
+         overlap and per-partition order IS global order),
+      3. one groupby("part") sorts each partition locally by (n_chars
+         DESC, doc_id ASC) and emits local ranks,
+      4. per-partition counts (n_parts rows) fold on the driver into
+         prefix offsets, broadcast once, and a final streaming pass adds
+         offset to local rank.
+
+    Every pass is corpus-linear with one range exchange; only histogram +
+    offsets (O(buckets + n_parts)) touch the driver. The SQL oracle is a
+    plain window ROW_NUMBER, so the distributed rank is bit-checked."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n_parts = default_n_parts()
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.table({"v": t.column("n_chars")}).group_by("v").aggregate(
+            [("v", "count")])
+        return pa.table({"v": g.column("v"),
+                         "c": pc.cast(g.column("v_count"), pa.int64())})
+
+    ht = _collect(ds.map_batches(hist, batch_format="pyarrow")
+                  .groupby("v").aggregate(Sum("c", alias_name="c")))
+    # boundaries: descending value order, ~equal row counts per partition
+    vals = np.array(ht.column("v").to_pylist(), np.int64)
+    cnts = np.array(ht.column("c").to_pylist(), np.int64)
+    order = np.argsort(-vals)
+    vals, cnts = vals[order], cnts[order]
+    total = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    # partition p covers descending-value positions with cum in
+    # (p*total/n_parts, (p+1)*total/n_parts]; ties share one value bucket
+    # so they always map to one partition
+    part_of_value = np.minimum(
+        ((cum - cnts) * n_parts) // max(total, 1), n_parts - 1).astype(np.int32)
+    val_to_part = dict(zip(vals.tolist(), part_of_value.tolist()))
+    vp_ref = ray.put(val_to_part)
+
+    def assign(t: pa.Table) -> pa.Table:
+        vp = ray.get(vp_ref)
+        v = t.column("n_chars").to_numpy()
+        parts = np.fromiter((vp[int(x)] for x in v), np.int32, len(v))
+        return pa.table({"part": pa.array(parts, pa.int32()),
+                         "doc_id": t.column("doc_id"),
+                         "n_chars": t.column("n_chars")})
+
+    def local_sort(t: pa.Table) -> pa.Table:
+        idx = np.lexsort((t.column("doc_id").to_numpy(),
+                          -t.column("n_chars").to_numpy()))
+        out = t.take(pa.array(idx))
+        return pa.table(
+            {"part": out.column("part"),
+             "local_rank": pa.array(np.arange(1, len(idx) + 1), pa.int64()),
+             "doc_id": out.column("doc_id"),
+             "n_chars": out.column("n_chars")})
+
+    ranked = ds.map_batches(assign, batch_format="pyarrow").groupby(
+        "part").map_groups(local_sort, batch_format="pyarrow").materialize()
+    def sizes_fn(t: pa.Table) -> pa.Table:
+        # per-batch (part, count) partials — batches may span groups after
+        # re-batching, so count by part rather than labeling whole batches
+        g = pa.table({"part": t.column("part")}).group_by("part").aggregate(
+            [("part", "count")])
+        return pa.table({"part": g.column("part"),
+                         "n": pc.cast(g.column("part_count"), pa.int64())})
+
+    sizes = _collect(ranked.map_batches(sizes_fn, batch_format="pyarrow"))
+    per_part: dict[int, int] = {}
+    for row in sizes.to_pylist():
+        per_part[row["part"]] = per_part.get(row["part"], 0) + row["n"]
+    offsets = {}
+    acc = 0
+    for p in sorted(per_part):
+        offsets[p] = acc
+        acc += per_part[p]
+    off_ref = ray.put(offsets)
+
+    def add_offset(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        parts = t.column("part").to_numpy()
+        base = np.fromiter((off[int(p)] for p in parts), np.int64, len(parts))
+        return pa.table(
+            {"rank": pa.array(base + t.column("local_rank").to_numpy(),
+                              pa.int64()),
+             "doc_id": t.column("doc_id"),
+             "n_chars": t.column("n_chars")})
+
+    return _collect(
+        ranked.map_batches(add_offset, batch_format="pyarrow")
+    ).sort_by("rank")
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5713,6 +5812,7 @@ def build_queries() -> dict[str, Callable]:
         "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
         "lang_confusion": q_lang_confusion,
         "event_transitions": q_event_transitions,
+        "curriculum_rank": q_curriculum_rank,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7315,5 +7415,14 @@ def build_oracle_sql() -> dict[str, str]:
                    ROUND(c.n / t.tot, 6) AS prob
             FROM c JOIN t USING (prev_type)
             ORDER BY prev_type, event_type
+        """,
+        # the distributed range-partitioned rank must equal a plain window
+        # ROW_NUMBER over the same total order
+        "curriculum_rank": """
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY n_chars DESC, doc_id)::BIGINT AS rank,
+                   doc_id, n_chars
+            FROM documents
+            ORDER BY rank
         """,
     }

@@ -354,7 +354,7 @@ def bench_queries(on_query=None, out: dict[str, float] | None = None) -> dict[st
         "star_join", "regex_mentions", "pca_project", "bpe_train",
         "distinct_users_salted", "price_correlations", "dd_quantiles",
         "events_rollup", "embedding_quantize", "heavy_hitters_by_lang",
-        "lang_confusion", "event_transitions",
+        "lang_confusion", "event_transitions", "curriculum_rank",
     ]
     reg = q.build_queries()
     out = out if out is not None else {}

@@ -168,6 +168,7 @@ SQL_CHECKED = [
     "heavy_hitters_by_lang",
     "lang_confusion",
     "event_transitions",
+    "curriculum_rank",
 ]
 
 
