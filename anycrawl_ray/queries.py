@@ -5715,6 +5715,73 @@ def q_curriculum_rank(sf_dir: str):
     ).sort_by("rank")
 
 
+def q_order_line_histogram(sf_dir: str):
+    """LEFT-OUTER big-big join shape: line-count distribution across ALL
+    orders, including the zero-line orders an inner join would silently
+    drop (257 of 15k at sf0.01 — the bucket that proves outer semantics).
+    lineitem pre-reduces per-order line counts inside map_batches
+    (combiner), orders ship bare keys, ONE co-partitioned groupby
+    left-joins them with null→0 fill and reduces to per-partition
+    (n_lines, n_orders) histogram partials — the driver folds
+    <= |distinct line counts| x n_parts rows."""
+    import polars as pl
+
+    n_parts = default_n_parts()
+
+    def part_of(keys: np.ndarray) -> np.ndarray:
+        h = pl.Series(keys).hash(seed=4242)
+        return (h.to_numpy() % np.uint64(n_parts)).astype(np.int32)
+
+    def l_side(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": t.column("l_orderkey")}).group_by(
+            "key").aggregate([("key", "count")])
+        keys = g.column("key").to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "n": pc.cast(g.column("key_count"), pa.int64())}
+        )
+
+    def o_side(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy()
+        return pa.table(
+            {"part": pa.array(part_of(keys), pa.int32()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "key": pa.array(keys, pa.int64()),
+             "n": pa.array(np.zeros(len(keys), np.int64), pa.int64())}
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        # per-block combiner partials for one order may arrive as several
+        # rows — sum per key BEFORE the join (a left join would otherwise
+        # fan each order out once per partial)
+        lines = df.filter(pl.col("side") == 0).group_by("key").agg(
+            pl.col("n").sum().alias("n_lines"))
+        orders = df.filter(pl.col("side") == 1).select("key")
+        j = orders.join(lines, on="key", how="left").with_columns(
+            pl.col("n_lines").fill_null(0))
+        h = j.group_by("n_lines").agg(
+            pl.len().cast(pl.Int64).alias("n_orders"))
+        return h.to_arrow()
+
+    l_pre = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        l_side, batch_format="pyarrow")
+    o_pre = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        o_side, batch_format="pyarrow")
+    partials = _collect(l_pre.union(o_pre).groupby("part").map_groups(
+        kernel, batch_format="pyarrow"))
+    hist: dict[int, int] = {}
+    for row in partials.to_pylist():
+        hist[row["n_lines"]] = hist.get(row["n_lines"], 0) + row["n_orders"]
+    ks = sorted(hist)
+    return pa.table(
+        {"n_lines": pa.array(ks, pa.int64()),
+         "n_orders": pa.array([hist[k] for k in ks], pa.int64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5813,6 +5880,7 @@ def build_queries() -> dict[str, Callable]:
         "lang_confusion": q_lang_confusion,
         "event_transitions": q_event_transitions,
         "curriculum_rank": q_curriculum_rank,
+        "order_line_histogram": q_order_line_histogram,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7424,5 +7492,18 @@ def build_oracle_sql() -> dict[str, str]:
                    doc_id, n_chars
             FROM documents
             ORDER BY rank
+        """,
+        # left-outer semantics: the n_lines=0 bucket counts orders an inner
+        # join would drop
+        "order_line_histogram": """
+            WITH per_order AS (
+                SELECT o.o_orderkey,
+                       COUNT(l.l_orderkey)::BIGINT AS n_lines
+                FROM orders o
+                LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_orderkey
+            )
+            SELECT n_lines, COUNT(*)::BIGINT AS n_orders
+            FROM per_order GROUP BY n_lines ORDER BY n_lines
         """,
     }

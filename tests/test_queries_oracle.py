@@ -169,6 +169,7 @@ SQL_CHECKED = [
     "lang_confusion",
     "event_transitions",
     "curriculum_rank",
+    "order_line_histogram",
 ]
 
 
