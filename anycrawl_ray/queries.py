@@ -5782,6 +5782,76 @@ def q_order_line_histogram(sf_dir: str):
     )
 
 
+def q_user_overlap_matrix(sf_dir: str):
+    """Audience-overlap matrix (users who did BOTH event types, for every
+    type pair) via BITMASK aggregation — the co-occurrence pattern whose
+    output stays constant-size at any user count: each batch pre-dedupes
+    (user, type) pairs and emits (user, bit(type)); one co-partitioned
+    groupby ORs each user's bits and reduces the partition to a BITMASK
+    HISTOGRAM (<= 2^|types| rows); the driver folds histogram partials and
+    reads every pairwise overlap out of the mask counts — no pairwise
+    self-join, no second shuffle. SQL oracle: distinct-pair self-join."""
+    import polars as pl
+
+    types = sorted(
+        _collect(
+            _read(sf_dir, "events", ["event_type"]).map_batches(
+                lambda t: pa.table(
+                    {"event_type": pc.unique(t.column("event_type"))}),
+                batch_format="pyarrow",
+            ).groupby("event_type").aggregate(Count())
+        ).column("event_type").to_pylist())
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+    bits_ref = ray.put(bit_of)
+    n_parts = default_n_parts()
+
+    def pre(t: pa.Table) -> pa.Table:
+        bo = ray.get(bits_ref)
+        g = pa.table({"u": t.column("user_id"),
+                      "et": t.column("event_type")}).group_by(
+            ["u", "et"]).aggregate([("u", "count")])
+        users = g.column("u").to_numpy()
+        bits = np.fromiter((bo[x] for x in g.column("et").to_pylist()),
+                           np.int64, len(users))
+        h = pl.Series(users).hash(seed=4242)
+        part = (h.to_numpy() % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"part": pa.array(part, pa.int32()),
+                         "u": pa.array(users, pa.int64()),
+                         "b": pa.array(bits, pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        # bits are powers of two and deduped per (user, type), so the OR of
+        # a user's bits equals the sum of their DISTINCT bit values
+        masks = df.group_by("u").agg(
+            pl.col("b").unique().sum().cast(pl.UInt64).alias("mask"))
+        h = masks.group_by("mask").agg(
+            pl.len().cast(pl.Int64).alias("n_users"))
+        return h.to_arrow().cast(
+            pa.schema([("mask", pa.uint64()), ("n_users", pa.int64())]))
+
+    partials = _collect(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            pre, batch_format="pyarrow"
+        ).groupby("part").map_groups(kernel, batch_format="pyarrow"))
+    hist: dict[int, int] = {}
+    for row in partials.to_pylist():
+        hist[row["mask"]] = hist.get(row["mask"], 0) + row["n_users"]
+    out_a, out_b, out_n = [], [], []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            both = sum(n for m, n in hist.items()
+                       if (m >> i) & 1 and (m >> j) & 1)
+            out_a.append(ta)
+            out_b.append(types[j])
+            out_n.append(both)
+    return pa.table(
+        {"type_a": pa.array(out_a, pa.string()),
+         "type_b": pa.array(out_b, pa.string()),
+         "n_users_both": pa.array(out_n, pa.int64())}
+    )
+
+
 def build_queries() -> dict[str, Callable]:
     return {
         "counters_by_type": q_counters_by_type,
@@ -5881,6 +5951,7 @@ def build_queries() -> dict[str, Callable]:
         "event_transitions": q_event_transitions,
         "curriculum_rank": q_curriculum_rank,
         "order_line_histogram": q_order_line_histogram,
+        "user_overlap_matrix": q_user_overlap_matrix,
         # rows-only (non-SQL-expressible)
         "pca_project": q_pca_project,
         "bpe_train": q_bpe_train,
@@ -7505,5 +7576,18 @@ def build_oracle_sql() -> dict[str, str]:
             )
             SELECT n_lines, COUNT(*)::BIGINT AS n_orders
             FROM per_order GROUP BY n_lines ORDER BY n_lines
+        """,
+        # every type pair (lexicographic a < b), users who did both
+        "user_overlap_matrix": """
+            WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+            tt AS (SELECT DISTINCT event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   (SELECT COUNT(*) FROM tu x JOIN tu y
+                    ON x.user_id = y.user_id
+                    WHERE x.event_type = a.event_type
+                      AND y.event_type = b.event_type)::BIGINT
+                       AS n_users_both
+            FROM tt a JOIN tt b ON a.event_type < b.event_type
+            ORDER BY type_a, type_b
         """,
     }

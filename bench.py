@@ -355,7 +355,7 @@ def bench_queries(on_query=None, out: dict[str, float] | None = None) -> dict[st
         "distinct_users_salted", "price_correlations", "dd_quantiles",
         "events_rollup", "embedding_quantize", "heavy_hitters_by_lang",
         "lang_confusion", "event_transitions", "curriculum_rank",
-        "order_line_histogram",
+        "order_line_histogram", "user_overlap_matrix",
     ]
     reg = q.build_queries()
     out = out if out is not None else {}

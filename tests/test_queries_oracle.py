@@ -170,6 +170,7 @@ SQL_CHECKED = [
     "event_transitions",
     "curriculum_rank",
     "order_line_histogram",
+    "user_overlap_matrix",
 ]
 
 
